@@ -1,0 +1,93 @@
+"""Image sentiment detector (reference models/sentiment_detector.py:5-64).
+
+FCN head over the 14x14x2048 att grid: ``sentiment_convs_num`` 3x3 convs each
+halving channels — with a single dropout+ReLU applied only AFTER the conv
+stack (the reference's nn.Sequential appends dropout and relu once at the
+end, :11-18; there is no per-conv nonlinearity) — then a 1x1 conv to one
+channel per sentiment, global average pool, and ``sentiment_fcs_num`` stacked
+Linear(num_sentis, num_sentis) layers with no nonlinearity between (:26-28).
+
+Also emits the 14x14 sentiment spatial map: the softmaxed class scores
+combine the per-class channel maps (:39-45).
+
+``sample`` reproduces the double-softmax quirk: forward output is already
+softmaxed, and sample softmaxes again before thresholding — the 0.7 RL
+threshold is calibrated on the double-softmaxed score (SURVEY.md §8.12).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+
+def init_params(key, num_sentiments: int, settings) -> Dict:
+    ks = nn.split_keys(key, settings.sentiment_convs_num
+                       + settings.sentiment_fcs_num + 1)
+    params: Dict = {"convs": [], "fcs": []}
+    in_ch = settings.fc_feat_dim
+    for i in range(settings.sentiment_convs_num):
+        params["convs"].append(nn.conv2d_init(ks[i], in_ch, in_ch // 2, 3, 3))
+        in_ch //= 2
+    params["senti_conv"] = nn.conv2d_init(
+        ks[settings.sentiment_convs_num], in_ch, num_sentiments, 1, 1)
+    for j in range(settings.sentiment_fcs_num):
+        params["fcs"].append(nn.linear_init(
+            ks[settings.sentiment_convs_num + 1 + j],
+            num_sentiments, num_sentiments))
+    return params
+
+
+def forward(params, features, *, dropout_p: float, rng=None,
+            deterministic: bool = True
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """features [bs, 14, 14, fc_feat_dim] (NHWC — the reference permutes from
+    NHWC to NCHW for torch convs; we stay NHWC, TPU's native layout).
+
+    Returns (softmax probs [bs, S], spatial map [bs, 14, 14])."""
+    x = features
+    for cp in params["convs"]:
+        x = nn.conv2d(cp, x, stride=1, padding="SAME")
+    if not deterministic:
+        x = nn.dropout(rng, x, dropout_p, deterministic)
+    x = jax.nn.relu(x)
+    senti_maps = nn.conv2d(params["senti_conv"], x, stride=1, padding="SAME")
+    pooled = senti_maps.mean(axis=(1, 2))                        # [bs, S]
+    out = pooled
+    for fp in params["fcs"]:
+        out = nn.linear(fp, out)
+    probs = jax.nn.softmax(out, axis=-1)                         # [bs, S]
+    # weighted combination of per-class maps (reference :41-44)
+    spatial = jnp.einsum("bs,bhws->bhw", probs, senti_maps)
+    return probs, spatial
+
+
+def sample(params, features, senti_threshold: float, neu_idx: int):
+    """Detect sentiment; low-confidence predictions fall back to neutral
+    (reference :47-60). Returns (labels [bs] int32, spatial [bs,14,14],
+    scores [bs] — the double-softmaxed max score)."""
+    probs, spatial = forward(params, features, dropout_p=0.0,
+                             deterministic=True)
+    probs2 = jax.nn.softmax(probs, axis=-1)  # double softmax, preserved
+    scores = probs2.max(axis=-1)
+    labels = probs2.argmax(axis=-1).astype(jnp.int32)
+    labels = jnp.where(scores < senti_threshold, neu_idx, labels)
+    return labels, spatial, scores
+
+
+def xent_loss(params, features, labels, *, dropout_p: float, rng,
+              deterministic: bool):
+    """CrossEntropy on the pre-softmax logits? The reference trains with
+    nn.CrossEntropyLoss on the forward's FIRST output — which is already
+    softmaxed (:39, train_senti.py applies the criterion to it directly), i.e.
+    a softmax-of-softmax under the hood. Preserved: we apply log_softmax to
+    the softmaxed output, exactly what torch's CrossEntropyLoss does to its
+    input."""
+    probs, _ = forward(params, features, dropout_p=dropout_p, rng=rng,
+                       deterministic=deterministic)
+    logp = jax.nn.log_softmax(probs, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return nll.mean()
