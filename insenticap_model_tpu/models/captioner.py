@@ -150,7 +150,8 @@ def build_visual_context(params, fc_feats, att_feats, dropout_p,
     att = att_feats.reshape(bs, -1, att_feats.shape[-1])         # [bs, N, Fa]
     att = _relu_linear(params["att_embed"], att)                 # [bs, N, Fe]
     att = nn.dropout(k[1], att, dropout_p, deterministic)
-    p_att = nn.linear(params["att2att"], att)                    # [bs, N, Ah]
+    # att2att is Linear+ReLU in the reference (captioner.py:149-150)
+    p_att = _relu_linear(params["att2att"], att)                 # [bs, N, Ah]
 
     senti_word = p_senti_word = senti_label = None
     if senti_words is not None:

@@ -10,9 +10,10 @@ Linear(num_sentis, num_sentis) layers with no nonlinearity between (:26-28).
 Also emits the 14x14 sentiment spatial map: the softmaxed class scores
 combine the per-class channel maps (:39-45).
 
-``sample`` reproduces the double-softmax quirk: forward output is already
-softmaxed, and sample softmaxes again before thresholding — the 0.7 RL
-threshold is calibrated on the double-softmaxed score (SURVEY.md §8.12).
+Note on SURVEY.md §8.12: the reference's forward returns the PRE-softmax
+logits (the softmaxed tensor at :39 only weights the spatial map), so
+``sample``'s softmax at :51 is the only one — there is no double softmax.
+Verified against the reference in tests/test_reference_parity.py.
 """
 from __future__ import annotations
 
@@ -47,7 +48,7 @@ def forward(params, features, *, dropout_p: float, rng=None,
     """features [bs, 14, 14, fc_feat_dim] (NHWC — the reference permutes from
     NHWC to NCHW for torch convs; we stay NHWC, TPU's native layout).
 
-    Returns (softmax probs [bs, S], spatial map [bs, 14, 14])."""
+    Returns (logits [bs, S], spatial map [bs, 14, 14])."""
     x = features
     for cp in params["convs"]:
         x = nn.conv2d(cp, x, stride=1, padding="SAME")
@@ -59,35 +60,32 @@ def forward(params, features, *, dropout_p: float, rng=None,
     out = pooled
     for fp in params["fcs"]:
         out = nn.linear(fp, out)
-    probs = jax.nn.softmax(out, axis=-1)                         # [bs, S]
-    # weighted combination of per-class maps (reference :41-44)
+    # softmaxed scores weight the per-class spatial maps (reference :39-44);
+    # the returned prediction stays pre-softmax
+    probs = jax.nn.softmax(out, axis=-1)
     spatial = jnp.einsum("bs,bhws->bhw", probs, senti_maps)
-    return probs, spatial
+    return out, spatial
 
 
 def sample(params, features, senti_threshold: float, neu_idx: int):
     """Detect sentiment; low-confidence predictions fall back to neutral
     (reference :47-60). Returns (labels [bs] int32, spatial [bs,14,14],
-    scores [bs] — the double-softmaxed max score)."""
-    probs, spatial = forward(params, features, dropout_p=0.0,
-                             deterministic=True)
-    probs2 = jax.nn.softmax(probs, axis=-1)  # double softmax, preserved
-    scores = probs2.max(axis=-1)
-    labels = probs2.argmax(axis=-1).astype(jnp.int32)
+    scores [bs] — the softmaxed max score the 0.7 threshold applies to)."""
+    logits, spatial = forward(params, features, dropout_p=0.0,
+                              deterministic=True)
+    probs = jax.nn.softmax(logits, axis=-1)
+    scores = probs.max(axis=-1)
+    labels = probs.argmax(axis=-1).astype(jnp.int32)
     labels = jnp.where(scores < senti_threshold, neu_idx, labels)
     return labels, spatial, scores
 
 
 def xent_loss(params, features, labels, *, dropout_p: float, rng,
               deterministic: bool):
-    """CrossEntropy on the pre-softmax logits? The reference trains with
-    nn.CrossEntropyLoss on the forward's FIRST output — which is already
-    softmaxed (:39, train_senti.py applies the criterion to it directly), i.e.
-    a softmax-of-softmax under the hood. Preserved: we apply log_softmax to
-    the softmaxed output, exactly what torch's CrossEntropyLoss does to its
-    input."""
-    probs, _ = forward(params, features, dropout_p=dropout_p, rng=rng,
-                       deterministic=deterministic)
-    logp = jax.nn.log_softmax(probs, axis=-1)
+    """Standard CE on the logits (reference get_optim_criterion :62-64 +
+    train_senti.py forward closure)."""
+    logits, _ = forward(params, features, dropout_p=dropout_p, rng=rng,
+                        deterministic=deterministic)
+    logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return nll.mean()
