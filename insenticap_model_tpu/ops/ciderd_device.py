@@ -1,0 +1,258 @@
+"""On-device CIDEr-D (SURVEY.md §7 hard part 1).
+
+The reference computes SCST rewards by copying both rollouts to the host,
+converting ids to strings, and running pure-Python CIDEr-D per batch
+(self_critical/utils.py:56-83 + ciderD_scorer.py:120-197) — the main
+throughput sink of the RL stage. Here the scorer runs inside the jit region:
+
+  * n-grams (n=1..4) become dual 32-bit rolling hashes computed by a scan
+    over shifted id arrays — no strings, no dicts;
+  * corpus document frequencies live in HBM as a sorted hash table
+    (built once from rewards/ciderd.py's scorer); lookups are vectorized
+    binary searches (jnp.searchsorted) + a tiny linear probe window to
+    resolve first-key duplicates;
+  * term frequencies within a caption come from all-pairs hash equality
+    (T<=17, so [T, T] comparisons are trivial VPU work);
+  * per-image reference captions sit in a device-resident id table
+    [num_images, R, T] gathered by image index, so the whole SCST reward
+    needs zero host round-trips.
+
+Numerics match the host scorer exactly (same tf-idf, clipped cosine, the
+reference's bigram-count length quirk, Gaussian penalty sigma=6); verified in
+tests/test_ciderd_device.py against rewards/ciderd.py which is itself
+parity-tested against the reference.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..rewards.ciderd import CiderD
+
+NGRAM_N = 4
+SIGMA = 6.0
+
+# dual 32-bit multiplicative hashing (odd constants)
+M1 = np.uint32(0x9E3779B1)
+M2 = np.uint32(0x85EBCA77)
+S1 = np.uint32(0x165667B1)
+S2 = np.uint32(0x27D4EB2F)
+PROBE = 8  # linear-probe window for duplicate first keys
+
+
+class CiderTables(NamedTuple):
+    """Device-resident scorer state."""
+    df_h1: jnp.ndarray      # [D] uint32, sorted (primary key)
+    df_h2: jnp.ndarray      # [D] uint32 (secondary key)
+    df_val: jnp.ndarray     # [D] float32 document frequencies
+    ref_len: jnp.ndarray    # scalar float32: log(#corpus images)
+    gts_ids: jnp.ndarray    # [num_images, R, T] int32 canonical ref ids
+    gts_len: jnp.ndarray    # [num_images, R] int32 (0 = absent ref)
+    gts_count: jnp.ndarray  # [num_images] int32 actual ref counts
+
+
+def _host_hash_pair(ngram) -> tuple:
+    h1 = np.uint32(S1)
+    h2 = np.uint32(S2)
+    with np.errstate(over="ignore"):
+        for tok in ngram:
+            t = np.uint32(tok + 1)
+            h1 = (h1 ^ t) * M1
+            h2 = (h2 ^ t) * M2
+    return int(h1), int(h2)
+
+
+def build_tables(scorer: CiderD, gts: Dict[str, list], image_order: list,
+                 max_seq_len: int, sos: int, eos: int) -> tuple:
+    """Build device tables from the host scorer + tokenized ground truth.
+
+    gts: {fn: [caption ids (with sos/eos), ...]} — captions are truncated to
+    max_seq_len + 1 ids as the reference's rl_fact collate does
+    (dataloader.py:64) before canonicalization.
+    image_order: fn list defining row indices; returns (tables, fn2row).
+    """
+    from ..rewards.ciderd import seq_from_ids
+
+    items = []
+    for ngram, df in scorer.document_frequency.items():
+        h1, h2 = _host_hash_pair(ngram)
+        items.append((h1, h2, df))
+    items.sort()
+    h1s = np.array([a for a, _, _ in items], np.uint32)
+    h2s = np.array([b for _, b, _ in items], np.uint32)
+    dfs = np.array([c for _, _, c in items], np.float32)
+    # duplicate-primary-key runs must fit the probe window
+    if len(h1s) > 1:
+        run = 1
+        max_run = 1
+        for i in range(1, len(h1s)):
+            run = run + 1 if h1s[i] == h1s[i - 1] else 1
+            max_run = max(max_run, run)
+        if max_run > PROBE:
+            raise RuntimeError(
+                f"df table duplicate-key run {max_run} exceeds probe window")
+    # exact duplicate (h1,h2) pairs would silently merge dfs
+    pair = h1s.astype(np.uint64) << np.uint64(32) | h2s.astype(np.uint64)
+    if len(pair) != len(np.unique(pair)):
+        raise RuntimeError("dual-hash collision in corpus df table")
+
+    T = max_seq_len + 1
+    R = max(len(caps) for caps in gts.values())
+    n = len(image_order)
+    gts_ids = np.zeros((n, R, T), np.int32)
+    gts_len = np.zeros((n, R), np.int32)
+    gts_count = np.zeros((n,), np.int32)
+    # sentinel -1 for invalid positions: hashes of sentinels never match
+    gts_ids.fill(-1)
+    for row, fn in enumerate(image_order):
+        caps = gts[fn]
+        gts_count[row] = len(caps)
+        for r, cap in enumerate(caps[:R]):
+            seq = seq_from_ids(list(cap)[:max_seq_len + 1], sos, eos)
+            L = min(len(seq), T)
+            gts_ids[row, r, :L] = seq[:L]
+            gts_len[row, r] = L
+
+    tables = CiderTables(
+        df_h1=jnp.asarray(h1s), df_h2=jnp.asarray(h2s),
+        df_val=jnp.asarray(dfs),
+        ref_len=jnp.asarray(scorer.ref_len, jnp.float32),
+        gts_ids=jnp.asarray(gts_ids), gts_len=jnp.asarray(gts_len),
+        gts_count=jnp.asarray(gts_count))
+    fn2row = {fn: i for i, fn in enumerate(image_order)}
+    return tables, fn2row
+
+
+# ---------------------------------------------------------------------------
+# Device-side scoring
+# ---------------------------------------------------------------------------
+
+def canonicalize(seq, eos: int, T_out: int):
+    """[T] sampled ids (0-padded after EOS, EOS may be absent) ->
+    ([T_out] ids with guaranteed trailing EOS, length). Mirrors
+    rewards.ciderd.seq_from_ids for rollout outputs (no leading SOS)."""
+    T = seq.shape[0]
+    is_eos = seq == eos
+    has_eos = jnp.any(is_eos)
+    first_eos = jnp.argmax(is_eos)                # valid only if has_eos
+    L_body = jnp.where(has_eos, first_eos, T)     # tokens before EOS
+    L = L_body + 1
+    t = jnp.arange(T_out)
+    out = jnp.where(t < L_body, jnp.pad(seq, (0, T_out - T))[:T_out], -1)
+    out = jnp.where(t == L_body, eos, out)
+    return out.astype(jnp.int32), L.astype(jnp.int32)
+
+
+def _ngram_hashes(ids, L):
+    """ids [T] int32 (−1 sentinel past L). Returns h1, h2 [N, T] uint32 and
+    valid [N, T] bool (position i holds the hash of ids[i:i+k+1])."""
+    T = ids.shape[0]
+    tok = (ids + 1).astype(jnp.uint32)
+    pos = jnp.arange(T)
+
+    h1s, h2s, valids = [], [], []
+    h1 = jnp.full((T,), S1, jnp.uint32)
+    h2 = jnp.full((T,), S2, jnp.uint32)
+    for k in range(NGRAM_N):
+        shifted = jnp.roll(tok, -k)
+        h1 = (h1 ^ shifted) * M1
+        h2 = (h2 ^ shifted) * M2
+        h1s.append(h1)
+        h2s.append(h2)
+        valids.append(pos + k < L)
+    return jnp.stack(h1s), jnp.stack(h2s), jnp.stack(valids)
+
+
+def _df_lookup(tables: CiderTables, h1, h2):
+    """Vectorized df lookup with linear probe over duplicate primary keys."""
+    pos = jnp.searchsorted(tables.df_h1, h1)
+    df = jnp.zeros(h1.shape, jnp.float32)
+    D = tables.df_h1.shape[0]
+    for d in range(PROBE):
+        p = jnp.minimum(pos + d, D - 1)
+        hit = (tables.df_h1[p] == h1) & (tables.df_h2[p] == h2)
+        df = jnp.where(hit, tables.df_val[p], df)
+    return df
+
+
+def _vec_stats(tables: CiderTables, ids, L):
+    """tf-idf statistics for one canonical sequence.
+
+    Returns per-order dicts of arrays over positions [N, T]:
+      w      — tf*idf at first-occurrence positions (0 elsewhere/invalid)
+      tf     — ngram count within the sequence (at every valid position)
+      h1, h2 — hashes
+      first  — first-occurrence mask
+      norm   — [N] vector norms
+      blen   — scalar bigram count (the reference's length quirk)
+    """
+    h1, h2, valid = _ngram_hashes(ids, L)
+    same = (h1[:, :, None] == h1[:, None, :]) & \
+           (h2[:, :, None] == h2[:, None, :]) & \
+           valid[:, None, :] & valid[:, :, None]
+    tf = same.sum(-1).astype(jnp.float32)               # [N, T]
+    T = ids.shape[0]
+    tri = jnp.tril(jnp.ones((T, T), jnp.bool_), -1)     # j < i
+    earlier = (same & tri[None]).any(-1)
+    first = valid & ~earlier
+
+    df = _df_lookup(tables, h1, h2)
+    idf = tables.ref_len - jnp.log(jnp.maximum(1.0, df))
+    w = jnp.where(first, tf * idf, 0.0)                 # [N, T]
+    norm = jnp.sqrt((w * w).sum(-1))                    # [N]
+    blen = valid[1].sum().astype(jnp.float32)
+    return {"h1": h1, "h2": h2, "valid": valid, "first": first,
+            "tf": tf, "idf": idf, "w": w, "norm": norm, "blen": blen}
+
+
+def _sim(hyp, ref):
+    """Clipped cosine per order + Gaussian length penalty
+    (ciderD_scorer.py:147-173)."""
+    # count of each hyp ngram in the ref: match hyp positions against ref
+    match = (hyp["h1"][:, :, None] == ref["h1"][:, None, :]) & \
+            (hyp["h2"][:, :, None] == ref["h2"][:, None, :]) & \
+            hyp["valid"][:, :, None] & ref["valid"][:, None, :]
+    ref_tf = match.sum(-1).astype(jnp.float32)          # [N, T]
+    ref_w = ref_tf * hyp["idf"]                         # same global idf
+    hyp_w = hyp["tf"] * hyp["idf"]
+    prod = jnp.minimum(hyp_w, ref_w) * ref_w
+    val = jnp.where(hyp["first"], prod, 0.0).sum(-1)    # [N]
+    denom = hyp["norm"] * ref["norm"]
+    val = jnp.where(denom != 0, val / jnp.where(denom != 0, denom, 1.0), val)
+    delta = hyp["blen"] - ref["blen"]
+    return val * jnp.exp(-(delta ** 2) / (2 * SIGMA ** 2))
+
+
+def cider_d(tables: CiderTables, hyp_ids, hyp_len, img_rows):
+    """Score a batch of canonical hypothesis sequences against their images'
+    references. hyp_ids [bs, T], hyp_len [bs], img_rows [bs] int32 indices
+    into the gts tables. Returns scores [bs] (x10, mean over orders,
+    averaged over actual refs)."""
+    def one(ids, L, row):
+        hyp = _vec_stats(tables, ids, L)
+        refs_ids = tables.gts_ids[row]                  # [R, T]
+        refs_len = tables.gts_len[row]                  # [R]
+
+        def ref_score(rid, rl):
+            ref = _vec_stats(tables, rid, rl)
+            s = _sim(hyp, ref)                          # [N]
+            return jnp.where(rl > 0, s.mean(), 0.0)
+
+        total = jax.vmap(ref_score)(refs_ids, refs_len).sum()
+        return total / tables.gts_count[row].astype(jnp.float32) * 10.0
+
+    return jax.vmap(one)(hyp_ids, hyp_len, img_rows)
+
+
+def self_critical_reward(tables: CiderTables, sample_seq, greedy_seq,
+                         img_rows, eos: int):
+    """Full SCST advantage on device: score(sample) - score(greedy),
+    broadcast over timesteps (reference self_critical/utils.py:56-83)."""
+    T = sample_seq.shape[1]
+    cs, ls = jax.vmap(lambda s: canonicalize(s, eos, T + 1))(sample_seq)
+    cg, lg = jax.vmap(lambda s: canonicalize(s, eos, T + 1))(greedy_seq)
+    adv = cider_d(tables, cs, ls, img_rows) - cider_d(tables, cg, lg, img_rows)
+    return jnp.repeat(adv[:, None], T, axis=1)
