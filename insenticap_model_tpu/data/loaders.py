@@ -1,0 +1,106 @@
+"""Batch loaders: fixed-size batches with shuffling and background prefetch.
+
+Replaces the reference's torch DataLoader + worker processes
+(dataloader.py:275-370) with a thread-prefetched iterator producing
+static-shape numpy batches ready for sharded device_put. Worker processes
+are unnecessary here: collate is pure numpy slicing and feature reads are
+parallel inside the store's gather (feature_store.py).
+
+Batch-size policy (vs. the reference's variable last batch):
+  * drop_last=True for training (keeps shapes static; the reference's
+    partial final batch only changes epoch boundaries);
+  * eval pads the final batch by repeating the last item and reports
+    `valid` counts so metrics divide by the true size.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(self, items: List, batch_size: int, collate: Callable,
+                 shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 0, prefetch: int = 2):
+        if not items:
+            raise ValueError("empty dataset")
+        self.items = items
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.items)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _index_batches(self):
+        idx = np.arange(len(self.items))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.batch_size
+        n_full = len(idx) // bs
+        batches = [idx[i * bs:(i + 1) * bs] for i in range(n_full)]
+        rem = len(idx) - n_full * bs
+        if rem and not self.drop_last:
+            tail = idx[n_full * bs:]
+            pad = np.full(bs - rem, tail[-1])
+            batches.append((np.concatenate([tail, pad]), rem))
+        return batches
+
+    def __iter__(self) -> Iterator:
+        self._epoch += 1
+        batches = self._index_batches()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            try:
+                for b in batches:
+                    if isinstance(b, tuple):
+                        ids, valid = b
+                        out = self.collate([self.items[i] for i in ids])
+                        out["valid"] = valid
+                    else:
+                        out = self.collate([self.items[i] for i in b])
+                        out["valid"] = len(b)
+                    q.put(out)
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+                return
+            q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class CycleIterator:
+    """Endless round-robin over a loader — the reference restarts the
+    seq2seq iterator on StopIteration (train_xe.py:170-175)."""
+
+    def __init__(self, loader: Loader):
+        self.loader = loader
+        self._it: Optional[Iterator] = None
+
+    def next(self):
+        if self._it is None:
+            self._it = iter(self.loader)
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)

@@ -289,7 +289,7 @@ def _teacher_forced_scan(params, ctx: DecodeContext, captions, *, mode: str,
         k_ss, k_mult, k_drop = jax.random.split(key, 3)
         gt = jax.lax.dynamic_index_in_dim(captions.T, t, axis=0,
                                           keepdims=False)        # [bs]
-        if not deterministic and ss_prob > 0.0:
+        if not deterministic:  # ss_prob may be a traced scalar; 0.0 disables
             # Scheduled sampling (captioner.py:218-228): with prob ss_prob
             # per example (only for t >= 1), feed a sample from the previous
             # step's distribution instead of ground truth.

@@ -1,0 +1,314 @@
+"""Jitted train/eval steps for every stage.
+
+Each stage compiles to one (or two: train/eval) XLA programs; batches arrive
+with the leading axis sharded over the data mesh, parameters replicated, and
+XLA inserts the gradient collectives (parallel/mesh.py). Loss semantics
+mirror the reference trainers exactly:
+
+  XE stage      train_xe.py:144-196  (xe + domain-align + seq2seq, pseudo
+                sentiment labels from the frozen sentence classifier)
+  RL stage      models/decoder.py:52-180 (SCST with on-device CIDEr-D +
+                cls reward, plus xe/da/seq2seq auxiliary losses)
+  concept       train_cpt.py (multi-label BCE)
+  sentiment     train_senti.py (CE)
+  sentence-cls  train_sent_senti_cls_rnn.py (CE)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import captioner as cap
+from ..models import concept_detector as cpt_det
+from ..models import sent_senti_cls as ss_cls
+from ..models import sentiment_detector as senti_det
+from ..ops import ciderd_device
+from . import optim
+
+CLS_FLAG = 0.4        # reference decoder.py:39
+SEQ_FLAG = 1.0        # reference decoder.py:40
+SENTI_THRESHOLD = 0.7  # reference decoder.py:41
+RL_XE_SS_PROB = 0.5   # reference decoder.py:139
+RL_SEQ_SS_PROB = 0.25  # reference decoder.py:155
+
+
+def _pseudo_senti_labels(cls_params, caps, lengths, settings):
+    """Frozen ss-cls pseudo labels on ground-truth captions
+    (train_xe.py:155-158, decoder.py:133-136)."""
+    logits, _ = ss_cls.forward(cls_params, caps[:, 1:], lengths,
+                               settings=settings, deterministic=True)
+    return jax.lax.stop_gradient(logits.argmax(axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# XE stage
+# ---------------------------------------------------------------------------
+
+def make_xe_steps(settings, tx):
+    """Returns (train_step, eval_step).
+
+    batch: {fc, att, caps [bs,T+1], lengths, cpts}
+    scs_batch: {caps, lengths, cpts, sentis, senti_labels}
+    """
+
+    def _losses(params, cls_params, batch, scs_batch, rng, ss_prob,
+                deterministic):
+        k1, k2 = jax.random.split(rng)
+        labels = _pseudo_senti_labels(cls_params, batch["caps"],
+                                      batch["lengths"], settings)
+        logprobs, aux = cap.forward_xe(
+            params, batch["fc"], batch["att"], batch["cpts"], batch["caps"],
+            labels, settings=settings, rng=k1, ss_prob=ss_prob,
+            deterministic=deterministic)
+        xe_loss = cap.xe_criterion(logprobs, batch["caps"][:, 1:],
+                                   batch["lengths"])
+        da_loss = cap.domain_alignment_loss(aux["cpt_feats"], aux["fc_emb"])
+        losses = {"xe_loss": xe_loss, "da_loss": da_loss,
+                  "cap_loss": xe_loss + da_loss}
+        total = xe_loss + da_loss
+        if scs_batch is not None:  # training only (train_xe.py:169-183)
+            s2s_logprobs = cap.forward_seq2seq(
+                params, scs_batch["caps"], scs_batch["cpts"],
+                scs_batch["sentis"], scs_batch["senti_labels"],
+                settings=settings, rng=k2, ss_prob=ss_prob,
+                deterministic=deterministic)
+            s2s = cap.xe_criterion(s2s_logprobs, scs_batch["caps"][:, 1:],
+                                   scs_batch["lengths"])
+            losses["seq2seq_loss"] = s2s
+            total = total + s2s
+        losses["all_loss"] = total
+        return total, losses
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, cls_params, batch, scs_batch, rng,
+                   ss_prob):
+        def loss_fn(p):
+            return _losses(p, cls_params, batch, scs_batch, rng, ss_prob,
+                           deterministic=False)
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params, opt_state = optim.apply_updates(params, grads, opt_state, tx)
+        return params, opt_state, losses
+
+    @jax.jit
+    def eval_step(params, cls_params, batch, rng):
+        _, losses = _losses(params, cls_params, batch, None, rng,
+                            jnp.float32(0.0), deterministic=True)
+        return losses
+
+    return train_step, eval_step
+
+
+# ---------------------------------------------------------------------------
+# RL stage (the reference Detector.forward inner loop, decoder.py:52-180)
+# ---------------------------------------------------------------------------
+
+class RLModels(NamedTuple):
+    """Frozen companions of the trainable captioner."""
+    senti_detector: Any
+    sent_senti_cls: Any
+
+
+def _cls_reward(cls_params, sample_seq, seq_masks, senti_labels, settings):
+    """Per-token cls reward on device (reference get_cls_reward,
+    self_critical/utils.py:120-151): 1{pred == target} x excitation weights.
+    No baseline (SURVEY.md §8.9)."""
+    lens = seq_masks.sum(axis=-1).astype(jnp.int32)
+    logits, weights = ss_cls.forward(cls_params, sample_seq, lens,
+                                     settings=settings, deterministic=True)
+    pred = logits.argmax(axis=-1)
+    correct = (pred == senti_labels).astype(weights.dtype)
+    return jax.lax.stop_gradient(correct[:, None] * weights)
+
+
+def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
+                  cider_tables: Optional[ciderd_device.CiderTables]):
+    """Returns dict of jitted steps keyed by (data_type, training).
+
+    fact batch: {fc, att, caps, lengths, cpts, sentis, img_rows}
+    senti batch: {fc, att, cpts, sentis, senti_labels}
+    scs_batch as in XE.
+    """
+
+    def _forward(params, frozen: RLModels, batch, scs_batch, rng,
+                 data_type: str, training: bool):
+        k_samp, k_greedy, k_xe, k_s2s = jax.random.split(rng, 4)
+        losses: Dict[str, jnp.ndarray] = {}
+
+        if data_type == "fact" or not training:
+            # sentiment labels from the image detector (decoder.py:82-84)
+            senti_labels, _, _ = senti_det.sample(
+                frozen.senti_detector, batch["att"], SENTI_THRESHOLD,
+                ids.neutral)
+            senti_labels = jax.lax.stop_gradient(senti_labels)
+        else:
+            senti_labels = batch["senti_labels"]
+
+        def rollout_loss(params):
+            sample_seq, sample_lp, sample_masks, aux = cap.forward_rl(
+                params, batch["fc"], batch["att"], batch["cpts"],
+                batch["sentis"], senti_labels, settings=settings, ids=ids,
+                max_seq_len=max_seq_len, sample_max=False, rng=k_samp,
+                deterministic=not training)
+            da_loss = cap.domain_alignment_loss(aux["cpt_feats"],
+                                                aux["fc_emb"])
+
+            greedy_seq, _, greedy_masks, _ = cap.forward_rl(
+                jax.lax.stop_gradient(params), batch["fc"], batch["att"],
+                batch["cpts"], batch["sentis"], senti_labels,
+                settings=settings, ids=ids, max_seq_len=max_seq_len,
+                sample_max=True, rng=k_greedy, deterministic=True)
+            greedy_seq = jax.lax.stop_gradient(greedy_seq)
+
+            aux_losses = {"da_loss": da_loss}
+            if data_type == "fact":
+                fact_reward = ciderd_device.self_critical_reward(
+                    cider_tables, sample_seq, greedy_seq, batch["img_rows"],
+                    ids.eos)
+                fact_reward = jax.lax.stop_gradient(fact_reward)
+                aux_losses["fact_reward"] = fact_reward[:, 0].mean()
+            else:
+                fact_reward = 0.0
+
+            cls_reward = _cls_reward(frozen.sent_senti_cls, sample_seq,
+                                     sample_masks, senti_labels, settings)
+            aux_losses["cls_reward"] = cls_reward.mean()
+
+            rewards = fact_reward + CLS_FLAG * cls_reward
+            aux_losses["all_rewards"] = rewards.mean()
+            rl_loss = cap.reward_criterion(sample_lp, sample_masks, rewards)
+            aux_losses["cap_loss"] = rl_loss
+
+            total = rl_loss + da_loss
+
+            if data_type == "fact":
+                # XE on ground truth with pseudo labels, ss_prob=0.5
+                # (decoder.py:131-141)
+                xe_labels = _pseudo_senti_labels(
+                    frozen.sent_senti_cls, batch["caps"], batch["lengths"],
+                    settings)
+                pred, _ = cap.forward_xe(
+                    params, batch["fc"], batch["att"], batch["cpts"],
+                    batch["caps"], xe_labels, settings=settings, rng=k_xe,
+                    ss_prob=jnp.float32(RL_XE_SS_PROB),
+                    deterministic=not training)
+                xe_loss = cap.xe_criterion(pred, batch["caps"][:, 1:],
+                                           batch["lengths"])
+                aux_losses["xe_loss"] = xe_loss
+                total = total + xe_loss
+
+            if training and scs_batch is not None:
+                # seq2seq with ss_prob=0.25 (decoder.py:143-159)
+                s2s_pred = cap.forward_seq2seq(
+                    params, scs_batch["caps"], scs_batch["cpts"],
+                    scs_batch["sentis"], scs_batch["senti_labels"],
+                    settings=settings, rng=k_s2s,
+                    ss_prob=jnp.float32(RL_SEQ_SS_PROB), deterministic=False)
+                s2s_loss = SEQ_FLAG * cap.xe_criterion(
+                    s2s_pred, scs_batch["caps"][:, 1:], scs_batch["lengths"])
+                aux_losses["seq2seq_loss"] = s2s_loss
+                total = total + s2s_loss
+
+            return total, aux_losses
+
+        return rollout_loss
+
+    def make_train(data_type: str):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, frozen: RLModels, batch, scs_batch,
+                       rng):
+            loss_fn = _forward(params, frozen, batch, scs_batch, rng,
+                               data_type, training=True)
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            params, opt_state = optim.apply_updates(params, grads, opt_state,
+                                                    tx)
+            return params, opt_state, losses
+        return train_step
+
+    def make_eval(data_type: str):
+        @jax.jit
+        def eval_step(params, frozen: RLModels, batch, rng):
+            loss_fn = _forward(params, frozen, batch, None, rng, data_type,
+                               training=False)
+            _, losses = loss_fn(params)
+            return losses
+        return eval_step
+
+    return {
+        ("fact", True): make_train("fact"),
+        ("senti", True): make_train("senti"),
+        ("fact", False): make_eval("fact"),
+        ("senti", False): make_eval("senti"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Head stages
+# ---------------------------------------------------------------------------
+
+def make_concept_steps(settings, tx):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            out = cpt_det.forward(p, batch["fc"], dropout_p=settings.dropout_p,
+                                  rng=rng, deterministic=False)
+            return cpt_det.multi_label_loss(out, batch["cpts"])
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.apply_updates(params, grads, opt_state, tx)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = cpt_det.forward(params, batch["fc"],
+                              dropout_p=0.0, deterministic=True)
+        return cpt_det.multi_label_loss(out, batch["cpts"]), out
+
+    return train_step, eval_step
+
+
+def make_senti_steps(settings, tx):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            return senti_det.xent_loss(p, batch["att"], batch["labels"],
+                                       dropout_p=settings.dropout_p, rng=rng,
+                                       deterministic=False)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.apply_updates(params, grads, opt_state, tx)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        loss = senti_det.xent_loss(params, batch["att"], batch["labels"],
+                                   dropout_p=0.0, rng=jax.random.PRNGKey(0),
+                                   deterministic=True)
+        labels, _, _ = senti_det.sample(params, batch["att"], 0.0, 0)
+        return loss, labels
+
+    return train_step, eval_step
+
+
+def make_cls_steps(settings, tx):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            return ss_cls.xent_loss(p, batch["caps"], batch["lengths"],
+                                    batch["labels"], settings=settings,
+                                    rng=rng, deterministic=False)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.apply_updates(params, grads, opt_state, tx)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        loss = ss_cls.xent_loss(params, batch["caps"], batch["lengths"],
+                                batch["labels"], settings=settings,
+                                rng=jax.random.PRNGKey(0), deterministic=True)
+        pred, _ = ss_cls.sample(params, batch["caps"], batch["lengths"],
+                                settings=settings)
+        return loss, pred
+
+    return train_step, eval_step
