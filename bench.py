@@ -1,0 +1,93 @@
+"""Serving-path benchmark: SentiCap-style captions/sec/chip at beam=3.
+
+Measures the full reference Detector.sample path (models/decoder.py:182-192)
+— image sentiment detection + sentiment-conditioned beam search — as one
+jitted XLA program at production shapes (vocab 10k, 512-d model, 196 visual
+regions, max_seq_len=16, beam=3; reference opts.py:60,62,68,79-96).
+
+Baseline: the reference decodes bs=1, one beam candidate per forward call —
+16 steps x 3 candidate forward_steps, each ~10 small GEMM launches
+(captioner.py:380-411). No published throughput exists (BASELINE.md), so the
+baseline constant below is an estimated 25 captions/sec for that loop on an
+A100-class GPU (~40 ms/image); vs_baseline is measured/estimated.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from insenticap_model_tpu import inference
+from insenticap_model_tpu.config import Settings
+from insenticap_model_tpu.models import captioner as cap
+from insenticap_model_tpu.models import sentiment_detector as senti_det
+
+REF_CAPTIONS_PER_SEC = 25.0  # estimated reference bs=1 GPU beam decode
+IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
+VOCAB = 10000
+NUM_SENTIS = 10
+
+
+def main():
+    settings = Settings()
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = inference.ServingParams(
+        captioner=cap.init_params(jax.random.PRNGKey(0), VOCAB, 3, settings),
+        senti_detector=senti_det.init_params(jax.random.PRNGKey(1), 3,
+                                             settings))
+    if dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+            params)
+
+    bs = 64 if jax.default_backend() == "tpu" else 8
+    g = np.random.default_rng(0)
+    fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), dtype)
+    att = jnp.asarray(g.normal(size=(bs, 14, 14, settings.att_feat_dim)),
+                      dtype)
+    sentis = jnp.asarray(g.integers(4, VOCAB, size=(bs, NUM_SENTIS)),
+                         jnp.int32)
+
+    fn = inference.make_serving_fn(settings, IDS, beam_size=3, max_seq_len=16)
+    # warmup / compile; np.asarray forces a device-to-host fetch — the only
+    # reliable sync on the tunneled backend (block_until_ready returns early)
+    np.asarray(fn(params, fc, att, sentis)[0])
+
+    iters = 20 if jax.default_backend() == "tpu" else 3
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            seqs, scores, labels = fn(params, fc, att, sentis)
+        np.asarray(seqs)
+        dt = time.perf_counter() - t0
+        best = max(best, bs * iters / dt)
+    cps = best
+
+    # p50 per-image latency at bs=1 (secondary metric, BASELINE.md)
+    fc1, att1, s1 = fc[:1], att[:1], sentis[:1]
+    np.asarray(fn(params, fc1, att1, s1)[0])
+    lat = []
+    for _ in range(max(5, iters)):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, fc1, att1, s1)[0])
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    print(json.dumps({
+        "metric": "senticap_captions_per_sec_per_chip_beam3",
+        "value": round(cps, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(cps / REF_CAPTIONS_PER_SEC, 2),
+        "p50_latency_ms_bs1": round(p50_ms, 2),
+        "batch_size": bs,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Serving path: detected-sentiment beam decode in one XLA program.
+
+Mirrors the reference ``Detector.sample`` (models/decoder.py:182-192):
+image sentiment detection (threshold→neutral fallback,
+sentiment_detector.py:47-60) followed by sentiment-conditioned beam search
+(captioner.py:351-420). Unlike the reference — which runs one image at a
+time, one beam candidate at a time — the whole batch decodes in a single
+jitted call: contexts are embedded once, the beam lives as an array axis,
+and `vmap` spreads images. This is the captions/sec/chip hot path
+(BASELINE.md north star).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+from .models import captioner as cap
+from .models import sentiment_detector as senti_det
+from .ops import beam
+
+SENTI_THRESHOLD = 0.7  # reference decoder.py:41
+
+
+class ServingParams(NamedTuple):
+    captioner: dict
+    senti_detector: dict
+
+
+def detect_and_decode(params: ServingParams, fc, att, sentis, *, settings,
+                      ids: cap.TokenIds, beam_size: int = 3,
+                      max_seq_len: int = 16,
+                      senti_threshold: float = SENTI_THRESHOLD):
+    """Full serving step for a batch of images.
+
+    fc:      [bs, Ff] pooled features
+    att:     [bs, 14, 14, Fa] attention grid
+    sentis:  [bs, M] sentiment-word ids for the detected sentiment domain
+
+    Returns (seqs [bs, beam, T] int32, scores [bs, beam] desc-sorted,
+    senti_labels [bs] int32). Jit-friendly: wrap with jax.jit directly.
+    """
+    senti_labels, _, _ = senti_det.sample(params.senti_detector, att,
+                                          senti_threshold, ids.neutral)
+    ctx, _ = cap.build_visual_context(
+        params.captioner, fc, att, settings.dropout_p,
+        jax.random.PRNGKey(0), True,  # deterministic: sample() is eval-mode
+        senti_words=sentis, senti_labels=senti_labels, pad_id=ids.pad)
+    seqs, scores = beam.beam_search_batched(
+        params.captioner, ctx, settings=settings, ids=ids,
+        beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
+    return seqs, scores, senti_labels
+
+
+def decode_xe(params_captioner, fc, att, senti_labels, *, settings,
+              ids: cap.TokenIds, beam_size: int = 3, max_seq_len: int = 16):
+    """XE-stage beam decode: no sentiment words, caller-chosen labels
+    (reference train_xe.py:221-229 drives captioner.sample without
+    senti_words)."""
+    ctx, _ = cap.build_visual_context(
+        params_captioner, fc, att, settings.dropout_p,
+        jax.random.PRNGKey(0), True, senti_words=None, senti_labels=None,
+        pad_id=ids.pad)
+    lab = jax.nn.relu(nn.embed(params_captioner["senti_label_embed"],
+                               senti_labels))
+    ctx = ctx._replace(senti_label=lab)
+    return beam.beam_search_batched(
+        params_captioner, ctx, settings=settings, ids=ids,
+        beam_size=beam_size, max_seq_len=max_seq_len, mode="xe")
+
+
+def make_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
+                    max_seq_len: int = 16):
+    """Jitted detect_and_decode with static config baked in."""
+    @jax.jit
+    def fn(params: ServingParams, fc, att, sentis):
+        return detect_and_decode(params, fc, att, sentis, settings=settings,
+                                 ids=ids, beam_size=beam_size,
+                                 max_seq_len=max_seq_len)
+    return fn

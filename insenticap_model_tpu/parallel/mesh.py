@@ -21,7 +21,7 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
               axis_names: Sequence[str] = ("data",),
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    if shape is None or tuple(shape) == (1,) and len(devices) > 1:
+    if shape is None:
         shape = (len(devices),)
     n = int(np.prod(shape))
     if n > len(devices):
