@@ -1,0 +1,292 @@
+"""Shared CLI plumbing: artifact IO, reference-compatible tokenization,
+loader construction, mesh runtime, and result dumping.
+
+Artifact schemas are byte-compatible with the reference's JSON contracts
+(SURVEY.md §1): idx2word.json (list), img_captions.json
+({split: {fn: [[word, ...], ...]}}), img_det_concepts.json ({fn: [word]}),
+img_det_sentiments.json ({fn: [word]}), senti_captions.json
+({senti: [[cap_words, cpt_words, senti_words], ...]}),
+img_senti_labels.json ({split: [[fn, senti_name], ...]}).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Opts
+from ..data import collate
+from ..data.feature_store import open_store
+from ..data.loaders import CycleIterator, Loader
+from ..models.captioner import TokenIds
+from ..parallel import mesh as pmesh
+from ..vocab import Vocab, upsample_to_neutral
+
+HOST_KEYS = ("fns", "ground_truth", "valid")
+
+
+def load_json(*parts):
+    with open(os.path.join(*parts)) as f:
+        return json.load(f)
+
+
+def corpus_path(opt: Opts, *names):
+    return os.path.join(opt.captions_dir, opt.dataset_name, opt.corpus_type,
+                        *names)
+
+
+def dataset_path(opt: Opts, *names):
+    return os.path.join(opt.captions_dir, opt.dataset_name, *names)
+
+
+def load_vocab(opt: Opts) -> Vocab:
+    return Vocab(load_json(corpus_path(opt, "idx2word.json")))
+
+
+def token_ids(vocab: Vocab, sentiment_categories) -> TokenIds:
+    return TokenIds(pad=vocab.pad_id, unk=vocab.unk_id, sos=vocab.sos_id,
+                    eos=vocab.eos_id,
+                    neutral=list(sentiment_categories).index("neutral"))
+
+
+def feature_paths(opt: Opts):
+    """<feats_dir>/<ds>/<ds>_fc.h5 layout (reference train_xe.py:122-123);
+    open_store also accepts the native record format at the same path with
+    any extension."""
+    base = os.path.join(opt.feats_dir, opt.dataset_name)
+    fc = os.path.join(base, f"{opt.dataset_name}_fc.h5")
+    att = os.path.join(base, f"{opt.dataset_name}_att.h5")
+    for ext in (".isc", ".h5"):
+        if os.path.exists(fc[:-3] + ext):
+            fc = fc[:-3] + ext
+        if os.path.exists(att[:-3] + ext):
+            att = att[:-3] + ext
+    return fc, att
+
+
+def tokenize_captions(img_captions: Dict, vocab: Vocab) -> Dict:
+    """{split: {fn: [[w..]..]}} -> ids with SOS/EOS (train_xe.py:81-94)."""
+    return {split: {fn: [vocab.encode_caption(seq) for seq in seqs]
+                    for fn, seqs in caps.items()}
+            for split, caps in img_captions.items()}
+
+
+def tokenize_concepts(img_det_concepts: Dict, vocab: Vocab) -> Dict:
+    """Strict lookup (train_xe.py:97-100)."""
+    return {fn: vocab.encode_strict(ws)
+            for fn, ws in img_det_concepts.items()}
+
+
+def tokenize_sentiments(img_det_sentiments: Dict, vocab: Vocab) -> Dict:
+    """Filtered lookup (train_rl.py:126-131 uses plain indexing on words
+    already restricted to the vocab; filter keeps OOV-safe)."""
+    return {fn: vocab.encode_filter(ws)
+            for fn, ws in img_det_sentiments.items()}
+
+
+def tokenize_senti_corpus(senti_captions: Dict, vocab: Vocab,
+                          sentiment_categories,
+                          upsample: bool = True) -> List:
+    """-> [[cap_ids, cpt_ids, senti_ids, senti_label], ...] with the
+    integer-ratio pos/neg upsampling (train_xe.py:102-120)."""
+    if upsample:
+        senti_captions = upsample_to_neutral(senti_captions)
+    label2idx = {w: i for i, w in enumerate(sentiment_categories)}
+    out = []
+    for senti, caps in senti_captions.items():
+        sid = label2idx[senti]
+        for cap, cpts, sentis in caps:
+            out.append([vocab.encode_caption(cap),
+                        vocab.encode_filter(cpts),
+                        vocab.encode_strict(sentis), sid])
+    return out
+
+
+def flatten_caption_items(captions_id: Dict, concepts_id: Dict) -> List:
+    """One row per caption, images repeated (dataloader.py:164-181)."""
+    return [(fn, cap, concepts_id[fn])
+            for fn, caps in captions_id.items() for cap in caps]
+
+
+class Runtime:
+    """Mesh + placement + dtype policy for a CLI run."""
+
+    def __init__(self, opt: Opts):
+        self.opt = opt
+        self.mesh = pmesh.make_mesh(opt.mesh_shape if opt.mesh_shape != (1,)
+                                    else None)
+        self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" \
+            else jnp.float32
+        n = self.mesh.devices.size
+        print(f"====> mesh: {tuple(self.mesh.shape.values())} "
+              f"({n} device(s)), compute dtype {opt.compute_dtype}")
+
+    @property
+    def num_devices(self) -> int:
+        return int(self.mesh.devices.size)
+
+    def round_bs(self, bs: int) -> int:
+        """Round batch size up to a multiple of the mesh width."""
+        n = self.num_devices
+        return -(-bs // n) * n
+
+    def put(self, batch: Dict) -> Dict:
+        """Shard array values over the data axis; cast float feats; keep
+        host-only keys out."""
+        arrs = {}
+        for k, v in batch.items():
+            if k in HOST_KEYS:
+                continue
+            v = np.asarray(v)
+            if v.dtype in (np.float32, np.float64):
+                v = v.astype(self.dtype)
+            arrs[k] = v
+        return pmesh.shard_batch(self.mesh, arrs)
+
+    def replicate(self, tree):
+        return pmesh.replicate(self.mesh, tree)
+
+    def cast(self, tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(self.dtype)
+            if hasattr(x, "dtype") and x.dtype in (jnp.float32, np.float32)
+            else x, tree)
+
+
+# ---------------------------------------------------------------------------
+# Loader builders (the reference's get_*_dataloader factories,
+# dataloader.py:275-370)
+# ---------------------------------------------------------------------------
+
+def caption_loader(fc_store, att_store, captions_id, concepts_id, vocab,
+                   opt: Opts, bs: int, shuffle=True, drop_last=True,
+                   seed=0) -> Loader:
+    items = flatten_caption_items(captions_id, concepts_id)
+    fn = functools.partial(collate.caption_batch,
+                           max_seq_len=opt.max_seq_len,
+                           num_concepts=opt.num_concepts, pad_id=vocab.pad_id,
+                           fc_store=fc_store, att_store=att_store)
+    return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
+                  seed=seed)
+
+
+def scs_loader(senti_corpus_id, vocab, opt: Opts, bs: int, seed=0) -> Loader:
+    fn = functools.partial(collate.scs_batch, max_seq_len=opt.max_seq_len,
+                           num_concepts=opt.num_concepts,
+                           num_sentiments=opt.num_sentiments,
+                           pad_id=vocab.pad_id)
+    return Loader(senti_corpus_id, bs, fn, shuffle=True, seed=seed)
+
+
+def rl_fact_loader(fc_store, att_store, captions_id, concepts_id,
+                   sentiments_id, vocab, opt: Opts, bs: int, fn2row=None,
+                   shuffle=True, drop_last=True, seed=0) -> Loader:
+    items = [(fn, caps, concepts_id[fn], sentiments_id[fn])
+             for fn, caps in captions_id.items()]
+    rng = np.random.default_rng(seed)
+    fn = functools.partial(collate.rl_fact_batch, max_seq_len=opt.max_seq_len,
+                           num_concepts=opt.num_concepts,
+                           num_sentiments=opt.num_sentiments,
+                           pad_id=vocab.pad_id, fc_store=fc_store,
+                           att_store=att_store, rng=rng, fn2row=fn2row)
+    return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
+                  seed=seed)
+
+
+def rl_senti_loader(fc_store, att_store, senti_imgs, concepts_id,
+                    sentiments_id, label2idx, vocab, opt: Opts, bs: int,
+                    shuffle=True, drop_last=True, seed=0) -> Loader:
+    """senti_imgs: [[fn, senti_name], ...] (img_senti_labels.json split)."""
+    items = [(fn, concepts_id[fn], sentiments_id[fn], label2idx[senti])
+             for fn, senti in senti_imgs]
+    fn = functools.partial(collate.rl_senti_batch,
+                           num_concepts=opt.num_concepts,
+                           num_sentiments=opt.num_sentiments,
+                           pad_id=vocab.pad_id, fc_store=fc_store,
+                           att_store=att_store)
+    return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
+                  seed=seed)
+
+
+def concept_loader(fc_store, items, num_total_concepts, bs, shuffle=True,
+                   drop_last=True, seed=0) -> Loader:
+    fn = functools.partial(collate.concept_batch,
+                           num_total_concepts=num_total_concepts,
+                           fc_store=fc_store)
+    return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
+                  seed=seed)
+
+
+def senti_image_loader(att_store, items, bs, shuffle=True, drop_last=True,
+                       seed=0) -> Loader:
+    fn = functools.partial(collate.senti_image_batch, att_store=att_store)
+    return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
+                  seed=seed)
+
+
+def senti_sents_loader(items, max_seq_len, pad_id, bs, shuffle=True,
+                       drop_last=True, seed=0) -> Loader:
+    fn = functools.partial(collate.senti_sents_batch, max_seq_len=max_seq_len,
+                           pad_id=pad_id)
+    return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
+                  seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Results / checkpoints
+# ---------------------------------------------------------------------------
+
+def ensure_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def stage_dirs(opt: Opts, stage: str):
+    ck = ensure_dir(os.path.join(opt.checkpoint, stage, opt.dataset_name,
+                                 opt.corpus_type))
+    rs = ensure_dir(os.path.join(opt.result_dir, stage, opt.dataset_name,
+                                 opt.corpus_type))
+    return ck, rs
+
+
+def best_checkpoint(opt: Opts, stage: str) -> str:
+    """model-best selection is manual in the reference (hardcoded paths,
+    train_xe.py:60). Same convention, .ckpt extension; falls back to the
+    newest epoch checkpoint when no model-best exists."""
+    d = os.path.join(opt.checkpoint, stage, opt.dataset_name, opt.corpus_type)
+    best = os.path.join(d, "model-best.ckpt")
+    if os.path.exists(best):
+        return best
+    cands = sorted((os.path.getmtime(os.path.join(d, f)),
+                    os.path.join(d, f)) for f in os.listdir(d)
+                   if f.endswith(".ckpt")) if os.path.isdir(d) else []
+    if not cands:
+        raise FileNotFoundError(f"no checkpoint under {d}")
+    return cands[-1][1]
+
+
+def dump_results(result_dir: str, tag: str, results: List[Dict],
+                 vocab: Optional[Vocab] = None) -> None:
+    """result_<tag>.json + .txt; id-form .txt too when ids are present —
+    the input contract of eval_cls_rnn (reference train_rl.py:283-309)."""
+    with open(os.path.join(result_dir, f"result_{tag}.json"), "w") as f:
+        json.dump([{"image_id": r["image_id"], "caption": r["caption"]}
+                   for r in results], f)
+    with open(os.path.join(result_dir, f"result_{tag}.txt"), "w") as f:
+        f.write("".join(r["caption"] + "\n" for r in results))
+    if results and "ids" in results[0]:
+        with open(os.path.join(result_dir, f"result_{tag}_ids.txt"),
+                  "w") as f:
+            for r in results:
+                f.write(" ".join(map(str, r["ids"])) + "\n")
+
+
+def metrics_line(log_path: str, record: Dict) -> None:
+    """Structured jsonl metrics writer (SURVEY.md §5-observability)."""
+    with open(log_path, "a") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")

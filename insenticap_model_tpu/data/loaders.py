@@ -97,6 +97,10 @@ class CycleIterator:
         self._it: Optional[Iterator] = None
 
     def next(self):
+        if len(self.loader) == 0:
+            raise ValueError(
+                "CycleIterator over an empty loader (dataset smaller than "
+                "batch size with drop_last=True)")
         if self._it is None:
             self._it = iter(self.loader)
         try:

@@ -17,7 +17,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import nn
 from .models import captioner as cap
 from .models import sentiment_detector as senti_det
 from .ops import beam
@@ -55,18 +54,16 @@ def detect_and_decode(params: ServingParams, fc, att, sentis, *, settings,
     return seqs, scores, senti_labels
 
 
-def decode_xe(params_captioner, fc, att, senti_labels, *, settings,
-              ids: cap.TokenIds, beam_size: int = 3, max_seq_len: int = 16):
-    """XE-stage beam decode: no sentiment words, caller-chosen labels
-    (reference train_xe.py:221-229 drives captioner.sample without
-    senti_words)."""
+def decode_xe(params_captioner, fc, att, *, settings, ids: cap.TokenIds,
+              beam_size: int = 3, max_seq_len: int = 16):
+    """XE-stage beam decode: no sentiment words and NO sentiment-label
+    embedding — the reference's sample() leaves senti_labels None when
+    called without senti_words (train_xe.py:221-229, captioner.py:375-376),
+    so nothing is added to the word embedding."""
     ctx, _ = cap.build_visual_context(
         params_captioner, fc, att, settings.dropout_p,
         jax.random.PRNGKey(0), True, senti_words=None, senti_labels=None,
         pad_id=ids.pad)
-    lab = jax.nn.relu(nn.embed(params_captioner["senti_label_embed"],
-                               senti_labels))
-    ctx = ctx._replace(senti_label=lab)
     return beam.beam_search_batched(
         params_captioner, ctx, settings=settings, ids=ids,
         beam_size=beam_size, max_seq_len=max_seq_len, mode="xe")

@@ -1,0 +1,220 @@
+"""End-to-end CLI pipeline on tiny synthetic artifacts: every stage of the
+reference DAG (SURVEY.md §1) runs through the real entry points against a
+fabricated ./data tree — concept training → concept detection → sentiment
+detector → sentence classifier → XE → RL → eval_cls — asserting the
+artifact/checkpoint/result-file contracts hold between stages."""
+import glob
+import json
+import os
+import shutil
+
+import h5py
+import numpy as np
+import pytest
+
+from insenticap_model_tpu.config import Opts, Settings
+
+WORDS = ["cat", "dog", "man", "tree", "happy", "sad", "red", "blue",
+         "runs", "sits", "big", "small", "nice", "ugly", "good", "bad"]
+CONCEPTS = WORDS[:8]
+N_IMG = {"train": 12, "val": 6, "test": 6}
+N_SENTI_IMG = {"train": 8, "val": 4, "test": 4}
+
+
+def _tiny_settings():
+    return Settings(word_emb_dim=16, fc_feat_dim=32, att_feat_dim=32,
+                    feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
+                    concept_mid_dim=24)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """Fabricated ./data tree with the reference's artifact schemas."""
+    root = tmp_path_factory.mktemp("cli_e2e")
+    g = np.random.default_rng(0)
+    cwd = os.getcwd()
+    os.chdir(root)
+
+    cap_dir = root / "data/captions/coco/part"
+    cap_dir.mkdir(parents=True)
+    feats_coco = root / "data/features/coco"
+    feats_senti = root / "data/features/sentiment"
+    feats_coco.mkdir(parents=True)
+    feats_senti.mkdir(parents=True)
+
+    idx2word = ["<PAD>", "<UNK>", "<SOS>", "<EOS>"] + WORDS
+    (cap_dir / "idx2word.json").write_text(json.dumps(idx2word))
+    (root / "data/captions/coco/idx2concept.json").write_text(
+        json.dumps(CONCEPTS))
+
+    def rand_caption():
+        L = int(g.integers(3, 7))
+        return [WORDS[int(j)] for j in g.integers(0, len(WORDS), L)]
+
+    img_captions, img_concepts = {}, {}
+    all_fns = []
+    for split, n in N_IMG.items():
+        img_captions[split] = {}
+        img_concepts[split] = {}
+        for i in range(n):
+            fn = f"{split}_img{i}.jpg"
+            all_fns.append(fn)
+            img_captions[split][fn] = [rand_caption() for _ in range(3)]
+            img_concepts[split][fn] = list(
+                {WORDS[int(j)] for j in g.integers(0, 8, 4)})
+    (root / "data/captions/coco/img_captions.json").write_text(
+        json.dumps(img_captions))
+    (root / "data/captions/coco/img_concepts.json").write_text(
+        json.dumps(img_concepts))
+
+    senti_fns = []
+    img_senti_labels = {}
+    cats = ["positive", "negative", "neutral"]
+    for split, n in N_SENTI_IMG.items():
+        img_senti_labels[split] = []
+        for i in range(n):
+            fn = f"senti_{split}_img{i}.jpg"
+            senti_fns.append(fn)
+            img_senti_labels[split].append([fn, cats[i % 3]])
+    (root / "data/captions/img_senti_labels.json").write_text(
+        json.dumps(img_senti_labels))
+
+    # senti corpus: [cap_words, cpt_words, senti_words] triples; ≥160
+    # neutral so the scs loader (bs=80, drop_last) yields batches
+    senti_captions = {}
+    for senti, n in (("positive", 30), ("negative", 30), ("neutral", 160)):
+        senti_captions[senti] = [
+            [rand_caption(), [WORDS[int(g.integers(0, 8))]],
+             [WORDS[4 + int(g.integers(0, 4))]]] for _ in range(n)]
+    (cap_dir / "senti_captions.json").write_text(json.dumps(senti_captions))
+
+    s = _tiny_settings()
+    with h5py.File(feats_coco / "coco_fc.h5", "w") as f_fc, \
+            h5py.File(feats_coco / "coco_att.h5", "w") as f_att:
+        for fn in all_fns:
+            f_fc[fn] = g.normal(size=(s.fc_feat_dim,)).astype(np.float32)
+            f_att[fn] = g.normal(
+                size=(14, 14, s.att_feat_dim)).astype(np.float32)
+    with h5py.File(feats_senti / "feats_fc.h5", "w") as f_fc, \
+            h5py.File(feats_senti / "feats_att.h5", "w") as f_att:
+        for fn in senti_fns:
+            f_fc[fn] = g.normal(size=(s.fc_feat_dim,)).astype(np.float32)
+            f_att[fn] = g.normal(
+                size=(14, 14, s.att_feat_dim)).astype(np.float32)
+
+    yield root
+    os.chdir(cwd)
+
+
+def _opts(**kw):
+    return Opts(settings=_tiny_settings(), num_concepts=3,
+                max_seq_len=8, seed=0, **kw)
+
+
+def _promote_best(stage_dir):
+    ckpts = sorted(glob.glob(os.path.join(stage_dir, "model_*.ckpt")),
+                   key=os.path.getmtime)
+    assert ckpts, f"no checkpoints in {stage_dir}"
+    shutil.copy(ckpts[-1], os.path.join(stage_dir, "model-best.ckpt"))
+
+
+def test_a_concept_stage(workdir):
+    from insenticap_model_tpu.cli import detect_concepts, test_cpt, train_cpt
+    train_cpt.train(_opts(concept_epochs=2, concept_bs=8))
+    ck = glob.glob("checkpoint/concept/coco/model_*.ckpt")
+    assert ck
+
+    # batch concept detection writes img_det_concepts.json for ALL images
+    detect_concepts.run(_opts(eval_model=sorted(
+        ck, key=os.path.getmtime)[-1]))
+    det = json.load(open("data/captions/coco/img_det_concepts.json"))
+    n_expected = sum(N_IMG.values()) + sum(N_SENTI_IMG.values())
+    assert len(det) == n_expected
+    assert all(len(v) == 3 for v in det.values())
+    assert all(w in CONCEPTS for v in det.values() for w in v)
+
+    # single-image smoke test prints a wrong rate
+    test_cpt.run(_opts(test_model=sorted(ck, key=os.path.getmtime)[-1]))
+
+
+def test_b_senti_detector_stage(workdir):
+    from insenticap_model_tpu.cli import train_senti
+    train_senti.train(_opts(senti_epochs=2, senti_bs=4,
+                            img_senti_labels="data/captions/"
+                            "img_senti_labels.json"))
+    ck = glob.glob("checkpoint/sentiment/model_*.ckpt")
+    assert ck
+
+
+def test_c_sent_senti_cls_stage(workdir):
+    from insenticap_model_tpu.cli import train_sent_senti_cls_rnn as tcls
+    # cap epochs: monkey-free — run the module train loop only 30 epochs is
+    # too slow; drive via its builder + 2 manual epochs is already covered
+    # by unit tests, so here run the real train() but stop early by
+    # patching range via epochs in Opts is not exposed (reference hardcodes
+    # 30); instead temporarily shrink by subclassing is overkill — run with
+    # the corpus this small an epoch is ~1s, so do the full 30.
+    tcls.train(_opts())
+    stage = "checkpoint/sent_senti_cls/coco/part"
+    _promote_best(stage)
+    assert os.path.exists(os.path.join(stage, "model-best.ckpt"))
+
+
+def test_d_xe_stage(workdir):
+    from insenticap_model_tpu.cli import train_xe
+    train_xe.train(_opts(xe_epochs=1, xe_bs=6, beam_size=2))
+    stage = "checkpoint/xe/coco/part"
+    _promote_best(stage)
+    res = json.load(open("result/xe/coco/part/result_0.json"))
+    assert len(res) == N_IMG["test"]
+    assert all("image_id" in r and isinstance(r["caption"], str)
+               for r in res)
+
+
+def test_e_rl_stage(workdir):
+    from insenticap_model_tpu.cli import train_rl
+    # det_sentiments artifact is produced by preprocessing in the real
+    # pipeline; fabricate from sentiment words here
+    det = json.load(open("data/captions/coco/img_det_concepts.json"))
+    sentis = {fn: ["happy", "sad"] for fn in det}
+    with open("data/captions/coco/part/img_det_sentiments.json", "w") as f:
+        json.dump(sentis, f)
+    os.makedirs("data/corpus/part", exist_ok=True)
+    with open("data/corpus/part/sentiment_words.json", "w") as f:
+        json.dump({"positive": {"happy": 1.0}, "negative": {"sad": 1.0}}, f)
+
+    senti_ck = sorted(glob.glob("checkpoint/sentiment/model_*.ckpt"),
+                      key=os.path.getmtime)[-1]
+    train_rl.train(_opts(rl_epochs=1, rl_bs=6, beam_size=2,
+                         rl_senti_resume=senti_ck, rl_senti_times=1,
+                         img_senti_labels="data/captions/"
+                         "img_senti_labels.json"))
+    assert glob.glob("checkpoint/rl/coco/part/model_0.ckpt")
+    # per-sentiment result files in the reference formats
+    senti_jsons = glob.glob("result/rl/coco/part/result_0_*_fact.json")
+    assert senti_jsons
+    id_txts = glob.glob("result/rl/coco/part/result_0_*_fact.txt")
+    w_txts = glob.glob("result/rl/coco/part/result_0_*_fact_w.txt")
+    assert id_txts and w_txts
+    # id-form file contract: ints per line ending with EOS id
+    with open(sorted(id_txts)[0]) as f:
+        line = f.readline().split()
+    assert all(t.isdigit() for t in line)
+
+
+def test_f_eval_cls(workdir, capsys):
+    from insenticap_model_tpu.cli import eval_cls_rnn
+    prefix = "result/rl/coco/part/result_0"
+    # eval_cls expects files for all three sentiments; the tiny RL test run
+    # may not emit every sentiment — fabricate any missing ones from an
+    # existing file
+    existing = glob.glob(f"{prefix}_*_fact.txt")
+    assert existing
+    for senti in ("positive", "negative", "neutral"):
+        p = f"{prefix}_{senti}_fact.txt"
+        if not os.path.exists(p):
+            shutil.copy(existing[0], p)
+    acc = eval_cls_rnn.compute_cls(prefix, "fact",
+                                   checkpoint_dir="./checkpoint")
+    assert set(acc) == {"all", "positive", "negative", "neutral"}
+    assert all(0.0 <= v <= 1.0 for v in acc.values())

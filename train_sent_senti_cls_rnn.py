@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Entry point: see insenticap_model_tpu/cli/train_sent_senti_cls_rnn.py (same CLI surface as
+the reference's train_sent_senti_cls_rnn.py)."""
+from insenticap_model_tpu.cli.train_sent_senti_cls_rnn import main
+
+if __name__ == "__main__":
+    main()
