@@ -163,6 +163,12 @@ class NativeFeatureStore(FeatureStore):
         return np.asarray(rec, dtype=self.out_dtype).reshape(self.shape)
 
     def batch(self, fns: Sequence[str]) -> np.ndarray:
+        if self._native is not None:
+            # one C call: threaded pread gather + fp16 widening, no GIL
+            idxs = np.asarray([self.entries[fn] for fn in fns], np.int64)
+            flat = self._native.gather(idxs)
+            return np.asarray(flat, self.out_dtype).reshape(
+                (len(fns),) + self.shape)
         out = np.empty((len(fns),) + self.shape, self.out_dtype)
         if self._pool is None:
             for i, fn in enumerate(fns):
