@@ -69,6 +69,43 @@ def decode_xe(params_captioner, fc, att, *, settings, ids: cap.TokenIds,
         beam_size=beam_size, max_seq_len=max_seq_len, mode="xe")
 
 
+def decode_greedy(params_captioner, fc, att, sentis, senti_labels, *,
+                  settings, ids: cap.TokenIds, max_seq_len: int = 16):
+    """Greedy decode with sentiment conditioning — forward_rl with
+    sample_max (reference captioner.py:290-349, greedy branch), exposed as
+    a serving primitive. Returns (seqs [bs, T], masks [bs, T])."""
+    seq, _, masks, _ = cap.forward_rl(
+        params_captioner, fc, att,
+        jnp.zeros((fc.shape[0], 1), jnp.int32), sentis, senti_labels,
+        settings=settings, ids=ids, max_seq_len=max_seq_len,
+        sample_max=True, rng=jax.random.PRNGKey(0), deterministic=True)
+    return seq, masks
+
+
+def sweep_sentiments(params_captioner, fc, att, sentis_by_label, *,
+                     settings, ids: cap.TokenIds, num_labels: int = 3,
+                     beam_size: int = 3, max_seq_len: int = 16):
+    """Decode every image under every sentiment label (the paper's
+    controllable-sentiment sweep; BASELINE.json config 2). sentis_by_label:
+    [num_labels, bs, M] sentiment-word ids per label. Returns
+    (seqs [num_labels, bs, beam, T], scores [num_labels, bs, beam])."""
+    def one_label(label_idx, sentis):
+        labels = jnp.full((fc.shape[0],), label_idx, jnp.int32)
+        ctx, _ = cap.build_visual_context(
+            params_captioner, fc, att, settings.dropout_p,
+            jax.random.PRNGKey(0), True, senti_words=sentis,
+            senti_labels=labels, pad_id=ids.pad)
+        return beam.beam_search_batched(
+            params_captioner, ctx, settings=settings, ids=ids,
+            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
+    seqs, scores = [], []
+    for lab in range(num_labels):
+        s, sc = one_label(lab, sentis_by_label[lab])
+        seqs.append(s)
+        scores.append(sc)
+    return jnp.stack(seqs), jnp.stack(scores)
+
+
 def make_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
                     max_seq_len: int = 16):
     """Jitted detect_and_decode with static config baked in."""

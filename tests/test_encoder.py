@@ -1,0 +1,142 @@
+"""Encoder parity: our JAX patched ResNet-101 vs a pure-torch replica of
+the reference's ResNet (torchvision semantics built from torch core — the
+image lacks torchvision), weights converted through convert_torch_state_dict.
+Covers SURVEY.md §7 hard part 5 (ceil-mode maxpool, moved strides, faithful
+conversion). Plus extract_imgs_feat end-to-end over PIL-decoded images."""
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from insenticap_model_tpu.models import encoder as enc
+
+LAYERS = (3, 4, 23, 3)
+MIDS = (64, 128, 256, 512)
+
+
+class Bottleneck(tnn.Module):
+    """torchvision Bottleneck with the reference's patch applied: stride on
+    conv1 (reference encoder.py:13-15 moves it from conv2)."""
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, stride=stride,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=1, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class PatchedResNet(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        # the reference's maxpool patch (encoder.py:12)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=0, ceil_mode=True)
+        inplanes = 64
+        for li, (nblocks, mid) in enumerate(zip(LAYERS, MIDS)):
+            stride = 1 if li == 0 else 2
+            down = tnn.Sequential(
+                tnn.Conv2d(inplanes, mid * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(mid * 4))
+            blocks = [Bottleneck(inplanes, mid, stride, down)]
+            inplanes = mid * 4
+            for _ in range(nblocks - 1):
+                blocks.append(Bottleneck(inplanes, mid))
+            setattr(self, f"layer{li + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x, att_size=14):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for li in range(4):
+            x = getattr(self, f"layer{li + 1}")(x)
+        fc = x.mean([2, 3]).squeeze(0)
+        att = torch.nn.functional.adaptive_avg_pool2d(x, att_size)
+        return fc, att.squeeze(0).permute(1, 2, 0)
+
+
+def test_resnet101_parity_with_converted_weights():
+    torch.manual_seed(0)
+    model = PatchedResNet().eval()
+    # randomize BN stats so the affine path is actually exercised
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0, 0.05)
+
+    params = enc.convert_torch_state_dict(model.state_dict())
+
+    g = np.random.default_rng(0)
+    img = g.integers(0, 256, size=(96, 112, 3)).astype(np.uint8)
+    x = enc.preprocess(img)
+
+    with torch.no_grad():
+        t_fc, t_att = model(
+            torch.from_numpy(x.transpose(2, 0, 1)[None]).float())
+    j_fc, j_att = enc.forward(params, x)
+
+    np.testing.assert_allclose(np.asarray(j_fc), t_fc.numpy(), atol=2e-3,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_att), t_att.numpy(), atol=2e-3,
+                               rtol=1e-3)
+
+
+def test_preprocess_variants():
+    gray = np.zeros((10, 12), np.uint8)
+    assert enc.preprocess(gray).shape == (10, 12, 3)
+    rgba = np.zeros((10, 12, 4), np.uint8)
+    assert enc.preprocess(rgba).shape == (10, 12, 3)
+    rgb = np.full((4, 4, 3), 255, np.uint8)
+    out = enc.preprocess(rgb)
+    np.testing.assert_allclose(
+        out[0, 0], (1.0 - enc.IMAGENET_MEAN) / enc.IMAGENET_STD, rtol=1e-6)
+
+
+def test_extract_imgs_feat_e2e(tmp_path):
+    """PIL decode → encoder → h5 store, keyed by filename (reference
+    preprocess.py:23-50), on a tiny random-weight encoder via monkeypatched
+    dims? — the full 101 is too slow per image here, so run 2 images only."""
+    from PIL import Image
+    import h5py
+    from insenticap_model_tpu import preprocessing as pp
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    g = np.random.default_rng(0)
+    for i, mode in enumerate(("RGB", "L")):
+        arr = g.integers(0, 255, size=(64, 72, 3)).astype(np.uint8)
+        im = Image.fromarray(arr).convert(mode)
+        im.save(imgs / f"img{i}.jpg")
+
+    import jax
+    params = enc.init_params(jax.random.PRNGKey(0))
+    feats = tmp_path / "feats"
+    pp.extract_imgs_feat(str(imgs), str(feats), params, att_size=14)
+
+    with h5py.File(feats / "feats_fc.h5") as f_fc, \
+            h5py.File(feats / "feats_att.h5") as f_att:
+        assert set(f_fc.keys()) == {"img0.jpg", "img1.jpg"}
+        assert f_fc["img0.jpg"].shape == (2048,)
+        assert f_att["img0.jpg"].shape == (14, 14, 2048)
+        assert np.isfinite(f_fc["img0.jpg"][:]).all()

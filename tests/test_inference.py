@@ -1,0 +1,81 @@
+"""Serving-path tests: detect_and_decode, greedy decode, sentiment sweep."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from insenticap_model_tpu import inference
+from insenticap_model_tpu.models import captioner as cap
+from insenticap_model_tpu.models import sentiment_detector as senti_det
+
+IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
+V = 40
+
+
+def _params(settings):
+    return inference.ServingParams(
+        captioner=cap.init_params(jax.random.PRNGKey(0), V, 3, settings),
+        senti_detector=senti_det.init_params(jax.random.PRNGKey(1), 3,
+                                             settings))
+
+
+def test_detect_and_decode_shapes(settings):
+    g = np.random.default_rng(0)
+    bs, T = 4, 8
+    p = _params(settings)
+    fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, 14, 14, settings.att_feat_dim)),
+                      jnp.float32)
+    sentis = jnp.asarray(g.integers(4, V, size=(bs, 6)), jnp.int32)
+    fn = inference.make_serving_fn(settings, IDS, beam_size=3, max_seq_len=T)
+    seqs, scores, labels = fn(p, fc, att, sentis)
+    assert seqs.shape == (bs, 3, T)
+    assert scores.shape == (bs, 3)
+    assert labels.shape == (bs,)
+    # scores sorted descending per image
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+    # token ids in range, no PAD/SOS/UNK generated
+    sq = np.asarray(seqs)
+    assert sq.min() >= 0 and sq.max() < V
+    assert not np.isin(sq, [IDS.pad, IDS.sos, IDS.unk]).any()
+
+
+def test_greedy_decode(settings):
+    g = np.random.default_rng(1)
+    bs, T = 4, 8
+    p = _params(settings)
+    fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, 9, settings.att_feat_dim)),
+                      jnp.float32)
+    sentis = jnp.asarray(g.integers(4, V, size=(bs, 6)), jnp.int32)
+    labels = jnp.asarray(g.integers(0, 3, size=(bs,)), jnp.int32)
+    seqs, masks = inference.decode_greedy(p.captioner, fc, att, sentis,
+                                          labels, settings=settings,
+                                          ids=IDS, max_seq_len=T)
+    assert seqs.shape == (bs, T) and masks.shape == (bs, T)
+    # deterministic: same inputs -> same outputs
+    seqs2, _ = inference.decode_greedy(p.captioner, fc, att, sentis, labels,
+                                       settings=settings, ids=IDS,
+                                       max_seq_len=T)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs2))
+
+
+def test_sweep_sentiments(settings):
+    g = np.random.default_rng(2)
+    bs, T = 3, 8
+    p = _params(settings)
+    fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, 9, settings.att_feat_dim)),
+                      jnp.float32)
+    sentis = jnp.asarray(g.integers(4, V, size=(3, bs, 6)), jnp.int32)
+    seqs, scores = inference.sweep_sentiments(
+        p.captioner, fc, att, sentis, settings=settings, ids=IDS,
+        beam_size=2, max_seq_len=T)
+    assert seqs.shape == (3, bs, 2, T)
+    assert scores.shape == (3, bs, 2)
+    # different sentiment labels generally produce different captions for
+    # at least one image (senti label embedding feeds every step)
+    sq = np.asarray(seqs)
+    assert not np.array_equal(sq[0], sq[1]) or not np.array_equal(
+        sq[1], sq[2])
