@@ -2,9 +2,15 @@
 
 The reference decodes one image at a time, one candidate at a time, with a
 full-vocab sort per candidate per step (captioner.py:351-420). Here the beam
-lives as a leading axis ``[beam, ...]``, every step expands all candidates in
-one fused ``decode_step``, selection is two ``lax.top_k`` calls, and the whole
-loop is one ``lax.scan`` — then ``vmap`` batches whole images. This is the
+is an array axis ``[bs, beam]``: every step expands all candidates of all
+images in one fused batched decode step, selection is iterative-argmax top-k
+(beam_size argmax passes over the vocab instead of a full sort — a full
+``lax.top_k`` over 10k vocab lowers to a sort and dominated the decode at
+~13x the greedy cost), and the whole loop is one ``lax.scan`` that emits
+(word, parent) per step; sequences are reconstructed by a reverse backtrack
+scan. Candidates run as [bs*beam] rows through the shared fused decode_step
+(a broadcast-attention variant that avoided tiling the context de-fused
+badly at large batch and lost to plain tiled rows). This is the
 serving-path hot loop (BASELINE.md north star: captions/sec/chip at beam=3).
 
 Semantics preserved from the reference (SURVEY.md §7 hard part 2, §8.10):
@@ -22,18 +28,119 @@ import jax
 import jax.numpy as jnp
 
 from ..models.captioner import (DecodeContext, DecodeState, TokenIds,
-                                decode_step, init_state)
+                                decode_step)
 
-NEG_INF = -1e30  # finite sentinel: -inf arithmetic breaks top_k tie handling
+NEG_INF = -1e30  # finite sentinel: -inf arithmetic breaks tie handling
 
 
-def _tile_ctx(ctx: DecodeContext, beam: int) -> DecodeContext:
+def _tile_ctx(ctx: DecodeContext, B: int) -> DecodeContext:
+    """Repeat per-image context B times -> [bs*B, ...] rows. Tiled rows
+    through the shared decode_step proved faster end-to-end than
+    broadcasting per-beam queries against shared [bs, N, ...] keys (the
+    [bs,B,N,Ah] broadcast tanh de-fused badly at large batch)."""
     def rep(x):
-        if x is None:
-            return None
-        return jnp.broadcast_to(x, (beam,) + x.shape[1:]) if x.shape[0] == 1 \
-            else jnp.repeat(x, beam, axis=0)
+        return None if x is None else jnp.repeat(x, B, axis=0)
     return DecodeContext(*(rep(f) for f in ctx))
+
+
+def _topk_argmax(x, k: int):
+    """Exact top-k along the last axis via k argmax passes — O(k·V) VPU
+    reductions instead of lax.top_k's full sort (the sort dominated beam
+    decode). Matches lax.top_k ordering (descending; first index wins
+    ties)."""
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        x = jnp.where(
+            jax.nn.one_hot(i, x.shape[-1], dtype=jnp.bool_), NEG_INF, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def beam_search_batched(params, ctx: DecodeContext, *, settings,
+                        ids: TokenIds, beam_size: int, max_seq_len: int,
+                        mode: str, decoding_constraint: bool = True
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-batch beam decode in one XLA program (new capability vs. the
+    reference's bs=1 Python loop).
+
+    ctx: per-image DecodeContext [bs, ...] (NOT beam-tiled).
+    Returns (seqs [bs, beam, max_seq_len] int32, scores [bs, beam]) sorted
+    by score descending; sequences are EOS-terminated then EOS-padded.
+    """
+    bs = ctx.fc.shape[0]
+    B = beam_size
+    H = settings.rnn_hid_dim
+    # large per-candidate tensors live FLAT [bs*B, ...]: a [bs, B, ...]
+    # layout puts B in the sublane dimension, and B=3-wide tiles made every
+    # vocab-sized op ~10x slower (measured 333 ms vs 32 ms per batch)
+    z = jnp.zeros((bs * B, H), ctx.fc.dtype)
+    state0 = DecodeState(z, z, z, z)
+    scores0 = jnp.full((bs, B), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    last0 = jnp.full((bs, B), ids.sos, jnp.int32)
+
+    ban_static = []
+    if ids.pad != ids.eos:
+        ban_static = [ids.pad, ids.sos, ids.unk]
+
+    bctx = _tile_ctx(ctx, B)
+
+    def step_fn(carry, t):
+        state, scores, last = carry
+        logprobs, new_state, _ = decode_step(
+            params, bctx, state, last.reshape(-1), mode=mode, dropout_p=0.0,
+            drop_key=jax.random.PRNGKey(0), deterministic=True)
+        logprobs = logprobs.astype(jnp.float32)              # [bs*B, V]
+        for tok in ban_static:
+            logprobs = logprobs.at[:, tok].set(NEG_INF)
+        if decoding_constraint:
+            logprobs = jnp.where(
+                jax.nn.one_hot(last.reshape(-1), logprobs.shape[-1],
+                               dtype=jnp.bool_),
+                NEG_INF, logprobs)
+
+        ended = (t > 0) & (last == ids.eos)                  # [bs,B]
+        topv2, topi2 = _topk_argmax(logprobs, B)             # [bs*B, B]
+        topv = topv2.reshape(bs, B, B)
+        topi = topi2.reshape(bs, B, B)
+        # live candidates expand; ended candidates persist once (slot 0)
+        k_idx = jnp.arange(B)[None, None, :]
+        cand_scores = jnp.where(
+            ended[..., None],
+            jnp.where(k_idx == 0, scores[..., None], NEG_INF),
+            scores[..., None] + topv)                        # [bs,B,B]
+        cand_words = jnp.where(ended[..., None], ids.eos, topi)
+
+        flat_scores = cand_scores.reshape(bs, B * B)
+        new_scores, flat_idx = _topk_argmax(flat_scores, B)  # [bs,B]
+        parent = flat_idx // B
+        words = jnp.take_along_axis(cand_words.reshape(bs, B * B),
+                                    flat_idx, axis=1).astype(jnp.int32)
+
+        # beam-select states via one-hot matmul (generic gathers by parent
+        # lower poorly on TPU); rows stay flat afterwards
+        sel_mat = jax.nn.one_hot(parent, B, dtype=state.h_att.dtype)
+        def sel(f):
+            fb = f.reshape(bs, B, -1)
+            return jnp.einsum("bkj,bjh->bkh", sel_mat, fb).reshape(bs * B, -1)
+        new_state = DecodeState(*(sel(f) for f in new_state))
+        return (new_state, new_scores, words), (words, parent)
+
+    (_, scores, _), (words_t, parent_t) = jax.lax.scan(
+        step_fn, (state0, scores0, last0), jnp.arange(max_seq_len))
+    # words_t/parent_t: [T, bs, B]. Backtrack from the final beam order.
+    def back_fn(beam_idx, wp):
+        words, parent = wp                                    # [bs,B]
+        w = jnp.take_along_axis(words, beam_idx, axis=1)
+        prev = jnp.take_along_axis(parent, beam_idx, axis=1)
+        return prev, w
+    final_idx = jnp.broadcast_to(jnp.arange(B)[None], (bs, B))
+    _, seq_rev = jax.lax.scan(back_fn, final_idx, (words_t, parent_t),
+                              reverse=True)
+    seqs = jnp.moveaxis(seq_rev, 0, -1)                      # [bs,B,T]
+    return seqs, scores.astype(ctx.fc.dtype)
 
 
 def beam_search(params, ctx: DecodeContext, *, settings, ids: TokenIds,
@@ -49,65 +156,8 @@ def beam_search(params, ctx: DecodeContext, *, settings, ids: TokenIds,
     Returns (seqs [beam, max_seq_len] int32, scores [beam]) sorted by score
     descending. Sequences are EOS-terminated then padded with EOS.
     """
-    B = beam_size
-    bctx = _tile_ctx(ctx, B)
-    state0 = init_state(B, settings.rnn_hid_dim, ctx.fc.dtype)
-    scores0 = jnp.full((B,), NEG_INF, ctx.fc.dtype).at[0].set(0.0)
-    last0 = jnp.full((B,), ids.sos, jnp.int32)
-    seqs0 = jnp.zeros((B, max_seq_len), jnp.int32)
-
-    ban_static = []
-    if ids.pad != ids.eos:
-        ban_static = [ids.pad, ids.sos, ids.unk]
-
-    def step_fn(carry, t):
-        state, scores, last, seqs = carry
-        logprobs, new_state, _ = decode_step(
-            params, bctx, state, last, mode=mode,
-            dropout_p=settings.dropout_p,
-            drop_key=jax.random.PRNGKey(0), deterministic=True)  # eval mode
-        for tok in ban_static:
-            logprobs = logprobs.at[:, tok].set(NEG_INF)
-        if decoding_constraint:
-            logprobs = jnp.where(
-                jax.nn.one_hot(last, logprobs.shape[-1], dtype=jnp.bool_),
-                NEG_INF, logprobs)
-
-        ended = (t > 0) & (last == ids.eos)                      # [B]
-        topv, topi = jax.lax.top_k(logprobs, B)                  # [B, B]
-        # live candidates expand; ended candidates persist once (slot 0)
-        k_idx = jnp.arange(B)[None, :]
-        cand_scores = jnp.where(
-            ended[:, None],
-            jnp.where(k_idx == 0, scores[:, None], NEG_INF),
-            scores[:, None] + topv)                              # [B, B]
-        cand_words = jnp.where(ended[:, None], ids.eos, topi)
-
-        flat_scores = cand_scores.reshape(-1)
-        new_scores, flat_idx = jax.lax.top_k(flat_scores, B)     # [B]
-        parent = flat_idx // B
-        words = cand_words.reshape(-1)[flat_idx].astype(jnp.int32)
-
-        new_state = DecodeState(*(f[parent] for f in new_state))
-        new_seqs = seqs[parent].at[:, t].set(words)
-        return (new_state, new_scores, words, new_seqs), None
-
-    (_, scores, _, seqs), _ = jax.lax.scan(
-        step_fn, (state0, scores0, last0, seqs0), jnp.arange(max_seq_len))
-    return seqs, scores
-
-
-def beam_search_batched(params, ctx: DecodeContext, *, settings, ids: TokenIds,
-                        beam_size: int, max_seq_len: int, mode: str,
-                        decoding_constraint: bool = True):
-    """vmap beam_search over a batch of per-image contexts [bs, ...].
-
-    New capability vs. the reference (which only decodes bs=1): whole-batch
-    beam decode in one XLA program.
-    """
-    def one(ctx_i: DecodeContext):
-        ctx1 = DecodeContext(*(None if f is None else f[None] for f in ctx_i))
-        return beam_search(params, ctx1, settings=settings, ids=ids,
-                           beam_size=beam_size, max_seq_len=max_seq_len,
-                           mode=mode, decoding_constraint=decoding_constraint)
-    return jax.vmap(one)(ctx)
+    seqs, scores = beam_search_batched(
+        params, ctx, settings=settings, ids=ids, beam_size=beam_size,
+        max_seq_len=max_seq_len, mode=mode,
+        decoding_constraint=decoding_constraint)
+    return seqs[0], scores[0]

@@ -70,11 +70,12 @@ class Vocab:
 
 def build_vocab_from_counts(counts: Dict[str, int], min_count: int = 5) -> Vocab:
     """Build idx2word the way the reference's preprocess.build_idx2word does:
-    <PAD>, <UNK>, <SOS>, <EOS> then words by frequency (preprocess.py:250-277).
-    """
+    <PAD>, <SOS>, <EOS>, <UNK> then words with count > min_count
+    (preprocess.py:265-276; strictly greater, and note the special-token
+    order differs from the natural PAD/UNK/SOS/EOS guess)."""
     words = [w for w, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-             if c >= min_count]
-    idx2word = [PAD_TOKEN, UNK_TOKEN, SOS_TOKEN, EOS_TOKEN] + words
+             if c > min_count]
+    idx2word = [PAD_TOKEN, SOS_TOKEN, EOS_TOKEN, UNK_TOKEN] + words
     return Vocab(idx2word)
 
 
