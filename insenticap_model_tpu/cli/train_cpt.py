@@ -17,6 +17,7 @@ import numpy as np
 from ..config import Opts
 from ..models import concept_detector as cpt_det
 from ..training import checkpoint as ckpt
+from ..data.loaders import device_prefetch
 from ..training import optim, steps
 from . import common
 from .opts import parse_opt
@@ -79,8 +80,7 @@ def train(opt: Opts):
     def run_epoch(split, training, epoch):
         tot, n = 0.0, 0
         nonlocal params, opt_state
-        for i, batch in enumerate(loaders[split]):
-            b = rt.put(batch)
+        for i, b in enumerate(device_prefetch(loaders[split], rt.put)):
             if training:
                 params, opt_state, loss = train_step(
                     params, opt_state, b,

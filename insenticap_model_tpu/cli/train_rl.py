@@ -29,7 +29,7 @@ from ..rewards.ciderd import build_scorer
 from ..training import checkpoint as ckpt
 from ..training import optim, steps
 from .. import inference
-from ..data.loaders import CycleIterator
+from ..data.loaders import CycleIterator, device_prefetch
 from . import common
 from .opts import parse_opt
 
@@ -166,10 +166,9 @@ def train(opt: Opts):
     def run_split(loader, data_type, training, epoch, use_scs):
         nonlocal params, opt_state
         agg, n = defaultdict(float), 0
-        for i, batch in enumerate(loader):
+        for i, b in enumerate(device_prefetch(loader, rt.put)):
             if n >= MAX_BATCHES_PER_EPOCH:
                 break  # decoder.py:65
-            b = rt.put(batch)
             key = jax.random.fold_in(jax.random.PRNGKey(opt.seed + 17),
                                      epoch * 1000000 + i)
             if training:

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..config import Opts
 from ..models import sent_senti_cls as ss_cls
+from ..data.loaders import device_prefetch
 from ..training import checkpoint as ckpt
 from ..training import optim, steps
 from . import common
@@ -101,8 +102,7 @@ def train(opt: Opts):
     for epoch in range(epoch0, 30):  # 30 epochs hardcoded (:110)
         print(f"--------------------epoch: {epoch}")
         train_loss, n = 0.0, 0
-        for i, batch in enumerate(train_loader):
-            b = rt.put(batch)
+        for i, b in enumerate(device_prefetch(train_loader, rt.put)):
             params, opt_state, loss = train_step(
                 params, opt_state, b,
                 jax.random.fold_in(jax.random.PRNGKey(opt.seed),

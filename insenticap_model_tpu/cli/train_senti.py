@@ -14,6 +14,7 @@ import numpy as np
 
 from ..config import Opts
 from ..models import sentiment_detector as senti_det
+from ..data.loaders import device_prefetch
 from ..training import checkpoint as ckpt
 from ..training import optim, steps
 from . import common
@@ -64,8 +65,7 @@ def train(opt: Opts):
     def run_epoch(split, training, epoch):
         nonlocal params, opt_state
         tot, n = 0.0, 0
-        for i, batch in enumerate(loaders[split]):
-            b = rt.put(batch)
+        for i, b in enumerate(device_prefetch(loaders[split], rt.put)):
             if training:
                 params, opt_state, loss = train_step(
                     params, opt_state, b,

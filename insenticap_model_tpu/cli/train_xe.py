@@ -21,7 +21,7 @@ from ..models import sent_senti_cls as ss_cls
 from ..training import checkpoint as ckpt
 from ..training import optim, steps
 from .. import inference
-from ..data.loaders import CycleIterator
+from ..data.loaders import CycleIterator, device_prefetch
 from . import common
 from .opts import parse_opt
 
@@ -122,8 +122,7 @@ def train(opt: Opts):
         print(f"ss_prob: {ss_prob}")
 
         agg, n = {}, 0
-        for i, batch in enumerate(train_data):
-            b = rt.put(batch)
+        for i, b in enumerate(device_prefetch(train_data, rt.put)):
             scs_b = rt.put(scs_data.next())
             params, opt_state, losses = train_step(
                 params, opt_state, cls_params, b, scs_b,
@@ -136,8 +135,7 @@ def train(opt: Opts):
         train_loss = {k: v / max(n, 1) for k, v in agg.items()}
 
         agg, n = {}, 0
-        for i, batch in enumerate(val_data):
-            b = rt.put(batch)
+        for i, b in enumerate(device_prefetch(val_data, rt.put)):
             losses = eval_step(params, cls_params, b,
                                jax.random.PRNGKey(i))
             for k, v in losses.items():

@@ -88,6 +88,22 @@ class Loader:
             yield item
 
 
+def device_prefetch(iterator, put_fn, depth: int = 2):
+    """Keep `depth` batches device_put ahead of consumption. jax transfers
+    are dispatched asynchronously, so staging batch i+1 while step i runs
+    overlaps H2D with compute — essential when the host→device link is slow
+    relative to the step (each att batch is ~MBs; a 32 MB batch through a
+    tunneled link was measured at ~700 ms vs an 8 ms step)."""
+    from collections import deque
+    buf = deque()
+    for item in iterator:
+        buf.append(put_fn(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class CycleIterator:
     """Endless round-robin over a loader — the reference restarts the
     seq2seq iterator on StopIteration (train_xe.py:170-175)."""
