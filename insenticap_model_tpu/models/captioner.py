@@ -246,10 +246,12 @@ def fused_attention(p_attn, h, ctx: DecodeContext, mode: str):
 # The fused decode step (reference forward_step, captioner.py:168-186)
 # ---------------------------------------------------------------------------
 
-def decode_step(params, ctx: DecodeContext, state: DecodeState, it,
-                *, mode: str, dropout_p: float, drop_key, deterministic: bool):
-    """One decoder timestep: embed token -> att LSTM -> attention ->
-    lang LSTM -> dropout -> classifier -> log-softmax."""
+def decode_cell(params, ctx: DecodeContext, state: DecodeState, it,
+                *, mode: str, dropout_p: float, drop_key,
+                deterministic: bool):
+    """The decode step up to (but excluding) the vocabulary projection:
+    embed token -> att LSTM -> attention -> lang LSTM -> dropout. Split out
+    so the beam path can fuse the classifier with its top-k (ops/fused_topk)."""
     xt = embed_word(params, it)                                  # [bs, We]
     if ctx.senti_label is not None:
         xt = xt + ctx.senti_label
@@ -261,8 +263,18 @@ def decode_step(params, ctx: DecodeContext, state: DecodeState, it,
     h_lang, c_lang = nn.lstm_cell(params["lang_lstm"], l_in,
                                   (state.h_lang, state.c_lang))
     out = nn.dropout(drop_key, h_lang, dropout_p, deterministic)
+    return out, DecodeState(h_att, c_att, h_lang, c_lang), weights
+
+
+def decode_step(params, ctx: DecodeContext, state: DecodeState, it,
+                *, mode: str, dropout_p: float, drop_key, deterministic: bool):
+    """One decoder timestep: embed token -> att LSTM -> attention ->
+    lang LSTM -> dropout -> classifier -> log-softmax."""
+    out, new_state, weights = decode_cell(
+        params, ctx, state, it, mode=mode, dropout_p=dropout_p,
+        drop_key=drop_key, deterministic=deterministic)
     logprobs = nn.log_softmax(nn.linear(params["classifier"], out))
-    return logprobs, DecodeState(h_att, c_att, h_lang, c_lang), weights
+    return logprobs, new_state, weights
 
 
 # ---------------------------------------------------------------------------
