@@ -163,6 +163,14 @@ class Runtime:
 # dataloader.py:275-370)
 # ---------------------------------------------------------------------------
 
+def host_shard():
+    """Disjoint item stripe per process for multi-host data parallelism
+    (None on a single host). Passed to every training Loader."""
+    import jax
+    n = jax.process_count()
+    return (jax.process_index(), n) if n > 1 else None
+
+
 def caption_loader(fc_store, att_store, captions_id, concepts_id, vocab,
                    opt: Opts, bs: int, shuffle=True, drop_last=True,
                    seed=0) -> Loader:
@@ -172,7 +180,7 @@ def caption_loader(fc_store, att_store, captions_id, concepts_id, vocab,
                            num_concepts=opt.num_concepts, pad_id=vocab.pad_id,
                            fc_store=fc_store, att_store=att_store)
     return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
-                  seed=seed)
+                  seed=seed, shard=host_shard() if shuffle else None)
 
 
 def scs_loader(senti_corpus_id, vocab, opt: Opts, bs: int, seed=0) -> Loader:
@@ -180,7 +188,8 @@ def scs_loader(senti_corpus_id, vocab, opt: Opts, bs: int, seed=0) -> Loader:
                            num_concepts=opt.num_concepts,
                            num_sentiments=opt.num_sentiments,
                            pad_id=vocab.pad_id)
-    return Loader(senti_corpus_id, bs, fn, shuffle=True, seed=seed)
+    return Loader(senti_corpus_id, bs, fn, shuffle=True, seed=seed,
+                  shard=host_shard())
 
 
 def rl_fact_loader(fc_store, att_store, captions_id, concepts_id,
@@ -195,7 +204,7 @@ def rl_fact_loader(fc_store, att_store, captions_id, concepts_id,
                            pad_id=vocab.pad_id, fc_store=fc_store,
                            att_store=att_store, rng=rng, fn2row=fn2row)
     return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
-                  seed=seed)
+                  seed=seed, shard=host_shard() if shuffle else None)
 
 
 def rl_senti_loader(fc_store, att_store, senti_imgs, concepts_id,
@@ -210,7 +219,7 @@ def rl_senti_loader(fc_store, att_store, senti_imgs, concepts_id,
                            pad_id=vocab.pad_id, fc_store=fc_store,
                            att_store=att_store)
     return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
-                  seed=seed)
+                  seed=seed, shard=host_shard() if shuffle else None)
 
 
 def concept_loader(fc_store, items, num_total_concepts, bs, shuffle=True,
@@ -219,14 +228,14 @@ def concept_loader(fc_store, items, num_total_concepts, bs, shuffle=True,
                            num_total_concepts=num_total_concepts,
                            fc_store=fc_store)
     return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
-                  seed=seed)
+                  seed=seed, shard=host_shard() if shuffle else None)
 
 
 def senti_image_loader(att_store, items, bs, shuffle=True, drop_last=True,
                        seed=0) -> Loader:
     fn = functools.partial(collate.senti_image_batch, att_store=att_store)
     return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
-                  seed=seed)
+                  seed=seed, shard=host_shard() if shuffle else None)
 
 
 def senti_sents_loader(items, max_seq_len, pad_id, bs, shuffle=True,
@@ -234,7 +243,7 @@ def senti_sents_loader(items, max_seq_len, pad_id, bs, shuffle=True,
     fn = functools.partial(collate.senti_sents_batch, max_seq_len=max_seq_len,
                            pad_id=pad_id)
     return Loader(items, bs, fn, shuffle=shuffle, drop_last=drop_last,
-                  seed=seed)
+                  seed=seed, shard=host_shard() if shuffle else None)
 
 
 # ---------------------------------------------------------------------------

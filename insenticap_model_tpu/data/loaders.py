@@ -24,9 +24,17 @@ import numpy as np
 class Loader:
     def __init__(self, items: List, batch_size: int, collate: Callable,
                  shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 shard: Optional[tuple] = None):
         if not items:
             raise ValueError("empty dataset")
+        if shard is not None:
+            # multi-host data parallelism: each process reads a disjoint
+            # stripe (same seed everywhere keeps epochs aligned)
+            idx, count = shard
+            items = items[idx::count]
+            if not items:
+                raise ValueError(f"shard {idx}/{count} is empty")
         self.items = items
         self.batch_size = batch_size
         self.collate = collate
