@@ -22,7 +22,7 @@ import numpy as np
 from ..config import Opts
 from ..data import collate
 from ..data.feature_store import open_store
-from ..data.loaders import CycleIterator, Loader
+from ..data.loaders import Loader
 from ..models.captioner import TokenIds
 from ..parallel import mesh as pmesh
 from ..vocab import Vocab, upsample_to_neutral

@@ -19,7 +19,7 @@ from typing import Dict, List
 
 from .. import text
 from ..rewards.bleu import Bleu
-from ..rewards.ciderd import CiderD, ngram_counts
+from ..rewards.ciderd import CiderD
 
 SENTIS = ["positive", "negative", "neutral"]
 

@@ -10,7 +10,7 @@ with predictions on captions[:,:-1]).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -11,7 +11,6 @@ and `vmap` spreads images. This is the captions/sec/chip hot path
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

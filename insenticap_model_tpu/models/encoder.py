@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import nn
 from ..ops.adaptive_pool import adaptive_avg_pool2d
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)

@@ -22,7 +22,7 @@ VMEM scratch carries the running state across tiles of a row block.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

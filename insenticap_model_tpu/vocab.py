@@ -9,7 +9,7 @@ index 0 to UNK because 0 is falsy (SURVEY.md §8.2). Since index 0 is
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Sequence
 
 PAD_TOKEN = "<PAD>"
 UNK_TOKEN = "<UNK>"
