@@ -84,13 +84,12 @@ def build_tables(scorer: CiderD, gts: Dict[str, list], image_order: list,
     h1s = np.array([a for a, _, _ in items], np.uint32)
     h2s = np.array([b for _, b, _ in items], np.uint32)
     dfs = np.array([c for _, _, c in items], np.float32)
-    # duplicate-primary-key runs must fit the probe window
+    # duplicate-primary-key runs must fit the probe window (vectorized:
+    # max run of equal consecutive h1 = max gap between change points)
     if len(h1s) > 1:
-        run = 1
-        max_run = 1
-        for i in range(1, len(h1s)):
-            run = run + 1 if h1s[i] == h1s[i - 1] else 1
-            max_run = max(max_run, run)
+        change = np.flatnonzero(np.diff(h1s) != 0)
+        bounds = np.concatenate([[-1], change, [len(h1s) - 1]])
+        max_run = int(np.diff(bounds).max())
         if max_run > PROBE:
             raise RuntimeError(
                 f"df table duplicate-key run {max_run} exceeds probe window")

@@ -1,0 +1,91 @@
+"""CLI tool tests: convert_checkpoint roundtrip from a reference-format
+.pth, and the eval_metrics table computation."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not available")
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import torch  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from insenticap_model_tpu.config import Settings  # noqa: E402
+
+SENTI_CATS = ["positive", "negative", "neutral"]
+IDX2WORD = ["<PAD>", "<UNK>", "<SOS>", "<EOS>"] + [f"w{i}" for i in range(30)]
+
+
+def _ref_settings():
+    return {"word_emb_dim": 16, "fc_feat_dim": 24, "att_feat_dim": 24,
+            "feat_emb_dim": 16, "dropout_p": 0.5, "rnn_hid_dim": 16,
+            "att_hid_dim": 16, "concept_mid_him": 20,
+            "sentiment_convs_num": 2, "sentiment_fcs_num": 2}
+
+
+def test_convert_checkpoint_roundtrip(tmp_path):
+    """reference .pth -> convert_checkpoint CLI -> checkpoint.load produces
+    the exact same forward outputs as direct conversion."""
+    from models.captioner import Captioner
+    from insenticap_model_tpu import convert
+    from insenticap_model_tpu.cli import convert_checkpoint
+    from insenticap_model_tpu.models import captioner as jcap
+    from insenticap_model_tpu.training import checkpoint as ckpt
+
+    torch.manual_seed(0)
+    m = Captioner(IDX2WORD, SENTI_CATS, _ref_settings())
+    blob = {"epoch": 7, "model": m.state_dict(),
+            "settings": _ref_settings(), "idx2word": IDX2WORD,
+            "sentiment_categories": SENTI_CATS,
+            "dataset_name": "coco", "corpus_type": "part"}
+    pth = tmp_path / "model-best.pth"
+    torch.save(blob, pth)
+    out = tmp_path / "model-best.ckpt"
+    convert_checkpoint.run("captioner", str(pth), str(out))
+
+    settings = Settings.from_dict(_ref_settings())
+    template = jcap.init_params(jax.random.PRNGKey(0), len(IDX2WORD),
+                                len(SENTI_CATS), settings)
+    params, _, meta = ckpt.load(str(out), template)
+    assert meta["epoch"] == 7
+    ckpt.validate_metadata(meta, settings=settings, idx2word=IDX2WORD,
+                           sentiment_categories=SENTI_CATS,
+                           dataset_name="coco", corpus_type="part")
+
+    direct = convert.captioner_from_torch(m.state_dict())
+    a_leaves = {jax.tree_util.keystr(p): np.asarray(x) for p, x in
+                jax.tree_util.tree_leaves_with_path(params)}
+    b_leaves = {jax.tree_util.keystr(p): np.asarray(x) for p, x in
+                jax.tree_util.tree_leaves_with_path(direct)}
+    assert set(a_leaves) == set(b_leaves)
+    for key in a_leaves:
+        np.testing.assert_array_equal(a_leaves[key], b_leaves[key])
+
+
+def test_eval_metrics_table(tmp_path, monkeypatch, capsys):
+    from insenticap_model_tpu.cli import eval_metrics
+    anno = {f"img{i}.jpg": ["a dog runs in the park",
+                            "the dog is running"] for i in range(6)}
+    # distinct refs so idf is non-degenerate
+    anno["img0.jpg"] = ["a cat sits on the mat", "the cat is sitting"]
+    anno["img1.jpg"] = ["a man walks on the street", "the man is walking"]
+    anno_file = tmp_path / "anno.json"
+    anno_file.write_text(json.dumps(anno))
+    for senti in ("positive", "neutral"):
+        res = [{"image_id": f"img{i}.jpg",
+                "caption": anno[f"img{i}.jpg"][0]} for i in range(6)]
+        (tmp_path / f"res_{senti}_fact.json").write_text(json.dumps(res))
+    table = eval_metrics.compute_metrics(str(tmp_path / "res"), "fact",
+                                         str(anno_file))
+    assert set(table) == {"positive", "neutral"}
+    for senti in table:
+        assert table[senti]["Bleu-1"] == pytest.approx(100.0, abs=0.1)
+        assert table[senti]["CIDEr-D"] > 0
