@@ -70,12 +70,17 @@ def _topk_argmax(x, k: int):
 
 def beam_search_batched(params, ctx: DecodeContext, *, settings,
                         ids: TokenIds, beam_size: int, max_seq_len: int,
-                        mode: str, decoding_constraint: bool = True
+                        mode: str, decoding_constraint: bool = True,
+                        early_exit: bool = True
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-batch beam decode in one XLA program (new capability vs. the
     reference's bs=1 Python loop).
 
     ctx: per-image DecodeContext [bs, ...] (NOT beam-tiled).
+    early_exit: stop the decode loop once every candidate of every image has
+    emitted EOS (the reference's end_flag break, captioner.py:382-388,410).
+    Identical outputs either way; saves steps for trained models whose
+    captions end before max_seq_len.
     Returns (seqs [bs, beam, max_seq_len] int32, scores [bs, beam]) sorted
     by score descending; sequences are EOS-terminated then EOS-padded.
     """
@@ -170,8 +175,33 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
         new_state = DecodeState(*(sel(f) for f in new_state))
         return (new_state, new_scores, words), (words, parent)
 
-    (_, scores, _), (words_t, parent_t) = jax.lax.scan(
-        step_fn, (state0, scores0, last0), jnp.arange(max_seq_len))
+    if early_exit:
+        # while_loop with the reference's all-ended break; buffers are
+        # pre-filled so skipped steps read as EOS/self-parent
+        T = max_seq_len
+        words_buf = jnp.full((T, bs, B), ids.eos, jnp.int32)
+        parent_buf = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None,
+                                      None, :], (T, bs, B))
+
+        def cond(c):
+            t, state, scores, last, wbuf, pbuf = c
+            return (t < T) & ~((t > 0) & jnp.all(last == ids.eos))
+
+        def body(c):
+            t, state, scores, last, wbuf, pbuf = c
+            (state, scores, words), (w, pr) = step_fn(
+                (state, scores, last), t)
+            wbuf = jax.lax.dynamic_update_index_in_dim(wbuf, w, t, 0)
+            pbuf = jax.lax.dynamic_update_index_in_dim(pbuf, pr.astype(
+                jnp.int32), t, 0)
+            return (t + 1, state, scores, words, wbuf, pbuf)
+
+        _, _, scores, _, words_t, parent_t = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), state0, scores0, last0, words_buf, parent_buf))
+    else:
+        (_, scores, _), (words_t, parent_t) = jax.lax.scan(
+            step_fn, (state0, scores0, last0), jnp.arange(max_seq_len))
     # words_t/parent_t: [T, bs, B]. Backtrack from the final beam order.
     def back_fn(beam_idx, wp):
         words, parent = wp                                    # [bs,B]

@@ -79,3 +79,33 @@ def test_sweep_sentiments(settings):
     sq = np.asarray(seqs)
     assert not np.array_equal(sq[0], sq[1]) or not np.array_equal(
         sq[1], sq[2])
+
+
+def test_beam_early_exit_matches_scan(settings):
+    """early_exit while_loop and the scan path must be bit-identical, both
+    for never-ending (random) and immediately-ending (EOS-biased) models."""
+    from insenticap_model_tpu.ops import beam
+    g = np.random.default_rng(3)
+    bs, T = 4, 8
+    p = cap.init_params(jax.random.PRNGKey(0), V, 3, settings)
+    fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, 9, settings.att_feat_dim)),
+                      jnp.float32)
+    sentis = jnp.asarray(g.integers(4, V, size=(bs, 5)), jnp.int32)
+    labels = jnp.asarray(g.integers(0, 3, size=(bs,)), jnp.int32)
+    ctx, _ = cap.build_visual_context(
+        p, fc, att, settings.dropout_p, jax.random.PRNGKey(0), True,
+        senti_words=sentis, senti_labels=labels, pad_id=0)
+    p_eos = dict(p)
+    p_eos["classifier"] = dict(p["classifier"])
+    p_eos["classifier"]["b"] = p["classifier"]["b"].at[IDS.eos].set(50.0)
+    for params in (p, p_eos):
+        s1, v1 = beam.beam_search_batched(
+            params, ctx, settings=settings, ids=IDS, beam_size=3,
+            max_seq_len=T, mode="rl", early_exit=True)
+        s2, v2 = beam.beam_search_batched(
+            params, ctx, settings=settings, ids=IDS, beam_size=3,
+            max_seq_len=T, mode="rl", early_exit=False)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-6)
