@@ -115,19 +115,26 @@ def _bottleneck(p, x, stride: int):
     return jax.nn.relu(out + x)
 
 
-def forward(params, img, att_size: int = 14):
-    """img: [H, W, 3] normalized float32 (see preprocess). Returns
-    (fc [2048], att [att_size, att_size, 2048])."""
-    x = img[None]                                                # [1,H,W,3]
+def forward_batch(params, imgs, att_size: int = 14):
+    """imgs: [N, H, W, 3] normalized float32 (same H, W — bucket by shape).
+    Returns (fc [N, 2048], att [N, att_size, att_size, 2048])."""
+    x = imgs
     x = jax.nn.relu(_bn(params["bn1"], _conv(params["conv1"], x, 2, 3)))
     x = _ceil_maxpool_3x3s2(x)
     for li, layer in enumerate(params["layers"]):
         for b, blk in enumerate(layer):
             stride = 2 if (li > 0 and b == 0) else 1
             x = _bottleneck(blk, x, stride)
-    fc = x.mean(axis=(1, 2))[0]                                  # [2048]
-    att = adaptive_avg_pool2d(x, (att_size, att_size))[0]        # [14,14,2048]
+    fc = x.mean(axis=(1, 2))                                     # [N,2048]
+    att = adaptive_avg_pool2d(x, (att_size, att_size))           # [N,14,14,C]
     return fc, att
+
+
+def forward(params, img, att_size: int = 14):
+    """img: [H, W, 3] normalized float32 (see preprocess). Returns
+    (fc [2048], att [att_size, att_size, 2048])."""
+    fc, att = forward_batch(params, img[None], att_size)
+    return fc[0], att[0]
 
 
 def preprocess(image: np.ndarray) -> np.ndarray:

@@ -59,14 +59,17 @@ def load_image(path: str) -> np.ndarray:
 
 def extract_imgs_feat(imgs_dir: str, feats_dir: str, encoder_params,
                       att_size: int = 14, store_format: str = "h5",
-                      dtype: str = "float32") -> None:
+                      dtype: str = "float32", batch_size: int = 8) -> None:
     """Extract fc/att features for every image in imgs_dir into
     feats_fc.h5 / feats_att.h5 (same keying as the reference) or the native
     record format (feats_fc.isc / feats_att.isc).
 
     TPU note: images keep their original sizes (feature parity with the
-    reference, which never resizes); the jitted encoder is compile-cached
-    per input shape, so repeated shapes amortize.
+    reference, which never resizes). Images are bucketed by exact (H, W)
+    and run through a batched encoder forward — one compile per distinct
+    shape, MXU-efficient batches within each shape (the reference runs one
+    image per forward). Partial buckets are padded by repetition so each
+    shape compiles exactly once.
     """
     import jax
     from .models import encoder as enc
@@ -74,15 +77,30 @@ def extract_imgs_feat(imgs_dir: str, feats_dir: str, encoder_params,
     imgs = sorted(os.listdir(imgs_dir))
     os.makedirs(feats_dir, exist_ok=True)
 
-    fwd = jax.jit(lambda p, x: enc.forward(p, x, att_size))
+    fwd = jax.jit(lambda p, x: enc.forward_batch(p, x, att_size))
 
     def feats():
+        buckets: Dict[tuple, list] = {}
+
+        def flush(shape):
+            names, arrs = zip(*buckets.pop(shape))
+            n = len(arrs)
+            if n < batch_size:  # pad to the compiled batch shape
+                arrs = arrs + (arrs[-1],) * (batch_size - n)
+            fc, att = fwd(encoder_params, np.stack(arrs))
+            fc = np.asarray(fc, np.float32)
+            att = np.asarray(att, np.float32)
+            for i, nm in enumerate(names):
+                yield nm, fc[i], att[i]
+
         for img_nm in imgs:
             img = load_image(os.path.join(imgs_dir, img_nm))
             x = enc.preprocess(img)
-            fc, att = fwd(encoder_params, x)
-            yield img_nm, np.asarray(fc, np.float32), \
-                np.asarray(att, np.float32)
+            buckets.setdefault(x.shape, []).append((img_nm, x))
+            if len(buckets[x.shape]) >= batch_size:
+                yield from flush(x.shape)
+        for shape in list(buckets):
+            yield from flush(shape)
 
     if store_format == "h5":
         import h5py

@@ -128,15 +128,19 @@ def test_extract_imgs_feat_e2e(tmp_path):
         arr = g.integers(0, 255, size=(64, 72, 3)).astype(np.uint8)
         im = Image.fromarray(arr).convert(mode)
         im.save(imgs / f"img{i}.jpg")
+    # a second shape bucket
+    arr = g.integers(0, 255, size=(72, 64, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(imgs / "img2.jpg")
 
     import jax
     params = enc.init_params(jax.random.PRNGKey(0))
     feats = tmp_path / "feats"
-    pp.extract_imgs_feat(str(imgs), str(feats), params, att_size=14)
+    pp.extract_imgs_feat(str(imgs), str(feats), params, att_size=14,
+                         batch_size=2)
 
     with h5py.File(feats / "feats_fc.h5") as f_fc, \
             h5py.File(feats / "feats_att.h5") as f_att:
-        assert set(f_fc.keys()) == {"img0.jpg", "img1.jpg"}
+        assert set(f_fc.keys()) == {"img0.jpg", "img1.jpg", "img2.jpg"}
         assert f_fc["img0.jpg"].shape == (2048,)
         assert f_att["img0.jpg"].shape == (14, 14, 2048)
         assert np.isfinite(f_fc["img0.jpg"][:]).all()
