@@ -54,6 +54,13 @@ def token_ids(vocab: Vocab, sentiment_categories) -> TokenIds:
                     neutral=list(sentiment_categories).index("neutral"))
 
 
+def sniff_store_path(path: str) -> str:
+    """Prefer a native-format (.isc) store at the same stem when present;
+    otherwise return the given path (typically .h5)."""
+    stem, _ = os.path.splitext(path)
+    return stem + ".isc" if os.path.exists(stem + ".isc") else path
+
+
 def feature_paths(opt: Opts):
     """<feats_dir>/<ds>/<ds>_fc.h5 layout (reference train_xe.py:122-123);
     open_store also accepts the native record format at the same path with
@@ -118,8 +125,7 @@ class Runtime:
 
     def __init__(self, opt: Opts):
         self.opt = opt
-        self.mesh = pmesh.make_mesh(opt.mesh_shape if opt.mesh_shape != (1,)
-                                    else None)
+        self.mesh = pmesh.make_mesh(opt.mesh_shape or None)
         self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" \
             else jnp.float32
         n = self.mesh.devices.size

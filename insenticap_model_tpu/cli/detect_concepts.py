@@ -35,10 +35,10 @@ def run(opt: Opts):
     def sample(fc):
         return cpt_det.sample(params, fc, opt.num_concepts)
 
-    fact_fc = common.open_store(os.path.join(
-        opt.feats_dir, dataset_name, f"{dataset_name}_fc.h5"))
-    senti_fc = common.open_store(os.path.join(
-        opt.feats_dir, "sentiment", "feats_fc.h5"))
+    fact_fc = common.open_store(common.sniff_store_path(os.path.join(
+        opt.feats_dir, dataset_name, f"{dataset_name}_fc.h5")))
+    senti_fc = common.open_store(common.sniff_store_path(os.path.join(
+        opt.feats_dir, "sentiment", "feats_fc.h5")))
 
     predict = {}
     for store in (fact_fc, senti_fc):

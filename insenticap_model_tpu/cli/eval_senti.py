@@ -29,8 +29,8 @@ def run(opt: Opts):
     params, _, _ = ckpt.load(opt.rl_senti_resume, template)
     neu_idx = cats.index("neutral")
 
-    att_store = common.open_store(os.path.join(
-        opt.feats_dir, "coco", "coco_att.h5"))
+    att_store = common.open_store(common.sniff_store_path(os.path.join(
+        opt.feats_dir, "coco", "coco_att.h5")))
 
     @jax.jit
     def sample(att):

@@ -79,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native additions (no reference equivalent)
     p.add_argument("--mesh_shape", type=json.loads,
                    default=json.dumps(list(d.mesh_shape)),
-                   help="data-parallel mesh shape, e.g. [4]")
+                   help="mesh shape, e.g. [4]; [] = all devices, 1-D")
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=d.seed)

@@ -28,8 +28,8 @@ def run(opt: Opts):
 
     img_concepts = common.load_json(
         os.path.join(opt.captions_dir, dataset_name, "img_concepts.json"))
-    fc = common.open_store(os.path.join(
-        opt.feats_dir, dataset_name, f"{dataset_name}_fc.h5"))
+    fc = common.open_store(common.sniff_store_path(os.path.join(
+        opt.feats_dir, dataset_name, f"{dataset_name}_fc.h5")))
     test_img = opt.image_file or sorted(img_concepts["test"])[0]
     feat = fc.get(test_img)[None].astype(np.float32)
     _, top_idx, top_scores = cpt_det.sample(params, feat, opt.num_concepts)

@@ -124,10 +124,10 @@ def train(opt: Opts):
     fc_store = common.open_store(fc_path)
     att_store = common.open_store(att_path)
     senti_base = os.path.join(opt.feats_dir, "sentiment")
-    senti_fc_store = common.open_store(
-        os.path.join(senti_base, "feats_fc.h5"))
-    senti_att_store = common.open_store(
-        os.path.join(senti_base, "feats_att.h5"))
+    senti_fc_store = common.open_store(common.sniff_store_path(
+        os.path.join(senti_base, "feats_fc.h5")))
+    senti_att_store = common.open_store(common.sniff_store_path(
+        os.path.join(senti_base, "feats_att.h5")))
 
     bs = rt.round_bs(opt.rl_bs)
     fact_train = common.rl_fact_loader(fc_store, att_store,
@@ -136,7 +136,8 @@ def train(opt: Opts):
                                        fn2row=fn2row, seed=opt.seed)
     fact_val = common.rl_fact_loader(fc_store, att_store, captions_id["val"],
                                      concepts_id, sentiments_id, vocab, opt,
-                                     bs, fn2row=fn2row, shuffle=False)
+                                     bs, fn2row=fn2row, shuffle=False,
+                                     drop_last=False)
     senti_loaders = {split: common.rl_senti_loader(
         senti_fc_store, senti_att_store, img_senti_labels[split],
         concepts_id, sentiments_id, label2idx, vocab, opt, bs,
@@ -165,10 +166,11 @@ def train(opt: Opts):
 
     def run_split(loader, data_type, training, epoch, use_scs):
         nonlocal params, opt_state
+        import itertools
         agg, n = defaultdict(float), 0
-        for i, b in enumerate(device_prefetch(loader, rt.put)):
-            if n >= MAX_BATCHES_PER_EPOCH:
-                break  # decoder.py:65
+        # cap BEFORE collate/device_put so excess batches are never staged
+        capped = itertools.islice(iter(loader), MAX_BATCHES_PER_EPOCH)
+        for i, b in enumerate(device_prefetch(capped, rt.put)):
             key = jax.random.fold_in(jax.random.PRNGKey(opt.seed + 17),
                                      epoch * 1000000 + i)
             if training:

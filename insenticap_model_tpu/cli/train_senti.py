@@ -47,11 +47,8 @@ def train(opt: Opts):
     items = {split: [(fn, label2idx[s]) for fn, s in pairs]
              for split, pairs in img_senti_labels.items()}
 
-    att_path = os.path.join(opt.feats_dir, "sentiment", "feats_att.h5")
-    for ext in (".isc",):
-        if os.path.exists(att_path[:-3] + ext):
-            att_path = att_path[:-3] + ext
-    att_store = common.open_store(att_path)
+    att_store = common.open_store(common.sniff_store_path(
+        os.path.join(opt.feats_dir, "sentiment", "feats_att.h5")))
     bs = rt.round_bs(opt.senti_bs)
     loaders = {split: common.senti_image_loader(
         att_store, items[split], bs, shuffle=(split == "train"),

@@ -110,7 +110,9 @@ class Opts:
     image_file: str = ""
     resnet101_file: str = "./data/pre_models/resnet101.pth"
     # TPU-native additions (new capability; reference had none — SURVEY.md §2.6)
-    mesh_shape: Tuple[int, ...] = (1,)           # data-parallel mesh
+    mesh_shape: Tuple[int, ...] = ()             # () = 1-D mesh over all
+                                                 # devices; explicit shapes
+                                                 # (incl. (1,)) are honored
     compute_dtype: str = "float32"               # "float32" | "bfloat16"
     seed: int = 0
 
@@ -126,6 +128,6 @@ class Opts:
     def from_json(cls, s: str) -> "Opts":
         d = json.loads(s)
         d["settings"] = Settings.from_dict(d.get("settings", {}))
-        d["mesh_shape"] = tuple(d.get("mesh_shape", (1,)))
+        d["mesh_shape"] = tuple(d.get("mesh_shape", ()))
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})

@@ -68,6 +68,7 @@ class Loader:
         batches = self._index_batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # consumer abandoned the iterator
 
         def produce():
             try:
@@ -79,7 +80,18 @@ class Loader:
                     else:
                         out = self.collate([self.items[i] for i in b])
                         out["valid"] = len(b)
-                    q.put(out)
+                    # bounded put that notices consumer shutdown — a plain
+                    # q.put would block forever (leaking the thread and its
+                    # pinned batches) when the consumer breaks early, e.g.
+                    # the RL 500-batch epoch cap
+                    while not stop.is_set():
+                        try:
+                            q.put(out, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)
                 return
@@ -87,13 +99,21 @@ class Loader:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def device_prefetch(iterator, put_fn, depth: int = 2):

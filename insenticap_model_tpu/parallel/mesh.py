@@ -17,12 +17,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+DEFAULT_AXIS_NAMES = ("data", "model", "pipe", "expert")
+
+
 def make_mesh(shape: Optional[Sequence[int]] = None,
-              axis_names: Sequence[str] = ("data",),
+              axis_names: Optional[Sequence[str]] = None,
               devices=None) -> Mesh:
+    """shape None/() -> 1-D mesh over all devices; any explicit shape
+    (including (1,)) is honored. Extra dimensions get default axis names
+    (data, model, pipe, expert, axis4, ...)."""
     devices = devices if devices is not None else jax.devices()
-    if shape is None:
+    if not shape:
         shape = (len(devices),)
+    if axis_names is None:
+        axis_names = list(DEFAULT_AXIS_NAMES)
+        while len(axis_names) < len(shape):
+            axis_names.append(f"axis{len(axis_names)}")
+    if len(axis_names) < len(shape):
+        raise ValueError(f"{len(shape)}-d mesh needs {len(shape)} axis "
+                         f"names, got {axis_names}")
     n = int(np.prod(shape))
     if n > len(devices):
         raise ValueError(f"mesh shape {shape} needs {n} devices, "

@@ -8,9 +8,9 @@ Differences from the reference's plumbing (not its math): the reference
 round-trips token ids through strings ("1 2 3 <eos>") — we stay on integer
 tuples, which is value-identical because every string token is a distinct id.
 
-This module is also the build step for the on-device scorer
-(ops/ciderd_device.py): ``export_tables`` lays out the doc-freq map and
-per-image reference vectors as dense arrays for the TPU reward path.
+The on-device scorer (ops/ciderd_device.py) builds its dual-hash device
+tables directly from a ``CiderD`` instance's document_frequency/ref_len
+(ciderd_device.build_tables).
 
 Quirk preserved: the "length" entering the Gaussian penalty is the BIGRAM
 count (the reference accumulates ``length`` only at n-gram order 2,
@@ -122,36 +122,3 @@ def build_scorer(split_captions: Dict[str, Dict[str, List[List[int]]]],
     refs = [[seq_from_ids(c, sos, eos) for c in caps]
             for caps in captions.values()]
     return CiderD(refs)
-
-
-# ---------------------------------------------------------------------------
-# Dense export for the on-device scorer
-# ---------------------------------------------------------------------------
-
-# polynomial hash over ids; 64-bit with odd multiplier (collision-free in
-# practice for vocab < 2^16 and n <= 4; verified at export time)
-HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
-HASH_SEED = np.uint64(0x243F6A8885A308D3)
-
-
-def hash_ngram(ngram: Tuple[int, ...]) -> np.uint64:
-    h = HASH_SEED
-    with np.errstate(over="ignore"):
-        for tok in ngram:
-            h = (h ^ np.uint64(tok + 1)) * HASH_MULT
-    return h
-
-
-def export_tables(scorer: CiderD):
-    """Dense doc-frequency table for device lookup: sorted hashes + df values.
-    Raises if the hash collides on the corpus vocabulary (then a different
-    seed would be needed — never observed)."""
-    items = sorted((int(hash_ngram(ng)), df, len(ng))
-                   for ng, df in scorer.document_frequency.items())
-    hashes = np.array([h for h, _, _ in items], np.uint64)
-    if len(hashes) != len(np.unique(hashes)):
-        raise RuntimeError("ngram hash collision in corpus df table")
-    dfs = np.array([d for _, d, _ in items], np.float32)
-    orders = np.array([o for _, _, o in items], np.int32)
-    return {"hashes": hashes, "dfs": dfs, "orders": orders,
-            "ref_len": np.float32(scorer.ref_len)}

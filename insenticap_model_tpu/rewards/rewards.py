@@ -81,8 +81,9 @@ def get_lm_reward(sample_captions: np.ndarray, greedy_captions: np.ndarray,
                   lms) -> np.ndarray:
     """sign(lm(greedy) - lm(sample)) broadcast over timesteps (reference
     self_critical/utils.py:86-100). ``lms[senti_id]`` must expose
-    ``score(ids) -> float`` — satisfied by utils/nglm.py's trigram LM (the
-    SRILM/KenLM replacement)."""
+    ``score(seq) -> float`` on id tuples — e.g. kenlm.LanguageModel over the
+    id-form arpa files written by preprocessing.get_lm_sents (the reference
+    wires exactly that, train_rl.py:212-216, and leaves it disabled)."""
     bs = sample_captions.shape[0]
     scores = []
     for i in range(bs):

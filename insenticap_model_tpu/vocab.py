@@ -67,18 +67,6 @@ class Vocab:
         models/captioner.py:417-418 keeps everything before EOS)."""
         return " ".join(self.decode(ids, stop_at_eos=True))
 
-
-def build_vocab_from_counts(counts: Dict[str, int], min_count: int = 5) -> Vocab:
-    """Build idx2word the way the reference's preprocess.build_idx2word does:
-    <PAD>, <SOS>, <EOS>, <UNK> then words with count > min_count
-    (preprocess.py:265-276; strictly greater, and note the special-token
-    order differs from the natural PAD/UNK/SOS/EOS guess)."""
-    words = [w for w, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-             if c > min_count]
-    idx2word = [PAD_TOKEN, SOS_TOKEN, EOS_TOKEN, UNK_TOKEN] + words
-    return Vocab(idx2word)
-
-
 def upsample_to_neutral(senti_captions: Dict[str, list]) -> Dict[str, list]:
     """Integer-ratio upsampling of pos/neg corpora to the neutral corpus size
     (reference train_xe.py:106-107, train_rl.py:147-148)."""
