@@ -10,7 +10,7 @@
 //
 // C ABI (see utils/native.py):
 //   fstore_open(path, data_off, rec_bytes)            -> handle (>=0) | -1
-//   fstore_gather(h, idx[], n, out, widen_f16)        -> 0 | -1
+//   fstore_gather(h, idx[], n, out, widen_f16, num_threads) -> 0 | -1
 //   fstore_close(h)
 #include <fcntl.h>
 #include <pthread.h>
@@ -20,6 +20,8 @@
 
 #include <atomic>
 #include <cstdio>
+#include <cerrno>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -30,10 +32,16 @@ struct Store {
   int fd = -1;
   uint64_t data_off = 0;
   uint64_t rec_bytes = 0;
+  ~Store() {
+    if (fd >= 0) close(fd);
+  }
 };
 
+// shared_ptr registry: gather holds a reference for the duration of the
+// call, so a concurrent fstore_close (which only drops the registry slot)
+// cannot free the Store or close the fd under an in-flight pread
 std::mutex g_mu;
-std::vector<Store*> g_stores;
+std::vector<std::shared_ptr<Store>> g_stores;
 
 inline void WidenF16(const uint16_t* in, float* out, size_t n) {
   for (size_t i = 0; i < n; i++) {
@@ -64,6 +72,7 @@ bool ReadFull(int fd, void* buf, size_t n, uint64_t off) {
   char* p = (char*)buf;
   while (n > 0) {
     ssize_t r = pread(fd, p, n, (off_t)off);
+    if (r < 0 && errno == EINTR) continue;  // transient: retry
     if (r <= 0) return false;
     p += r;
     off += (uint64_t)r;
@@ -79,9 +88,12 @@ extern "C" {
 int64_t fstore_open(const char* path, uint64_t data_off, uint64_t rec_bytes) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
-  auto* s = new Store{fd, data_off, rec_bytes};
+  auto s = std::make_shared<Store>();
+  s->fd = fd;
+  s->data_off = data_off;
+  s->rec_bytes = rec_bytes;
   std::lock_guard<std::mutex> lk(g_mu);
-  g_stores.push_back(s);
+  g_stores.push_back(std::move(s));
   return (int64_t)g_stores.size() - 1;
 }
 
@@ -89,11 +101,11 @@ int64_t fstore_open(const char* path, uint64_t data_off, uint64_t rec_bytes) {
 // output is fp32 (out stride = rec_bytes*2). Returns 0 on success.
 int fstore_gather(int64_t handle, const int64_t* idx, int64_t n, char* out,
                   int widen_f16, int num_threads) {
-  Store* s;
+  std::shared_ptr<Store> s;
   {
     std::lock_guard<std::mutex> lk(g_mu);
     if (handle < 0 || handle >= (int64_t)g_stores.size()) return -1;
-    s = g_stores[handle];
+    s = g_stores[handle];  // keeps the Store (and fd) alive for this call
   }
   if (!s || s->fd < 0) return -1;
   if (num_threads <= 0) num_threads = 8;
@@ -129,12 +141,7 @@ int fstore_gather(int64_t handle, const int64_t* idx, int64_t n, char* out,
 void fstore_close(int64_t handle) {
   std::lock_guard<std::mutex> lk(g_mu);
   if (handle < 0 || handle >= (int64_t)g_stores.size()) return;
-  Store* s = g_stores[handle];
-  if (s) {
-    if (s->fd >= 0) close(s->fd);
-    delete s;
-    g_stores[handle] = nullptr;
-  }
+  g_stores[handle].reset();  // fd closes when the last gather finishes
 }
 
 }  // extern "C"

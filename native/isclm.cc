@@ -51,8 +51,6 @@ struct Counts {
   std::unordered_map<std::string, uint64_t> c[3];
   // continuation counts for lower orders: N1+(* ngram)
   std::unordered_map<std::string, uint64_t> cont[2];  // [0]=uni, [1]=bi
-  // distinct right-extensions N1+(ngram *): backoff denominator helpers
-  std::unordered_map<std::string, uint64_t> right[2];  // [0]=uni ctx,[1]=bi ctx
 };
 
 struct Discounts {
@@ -128,16 +126,28 @@ int Train(const char* text_path, const char* out_path) {
   for (const auto& kv : cnt.c[2]) {
     auto ws = SplitWs(kv.first);
     cnt.cont[1][ws[1] + " " + ws[2]]++;
-    cnt.right[1][ws[0] + " " + ws[1]]++;
   }
   for (const auto& kv : cnt.c[1]) {
     auto ws = SplitWs(kv.first);
     cnt.cont[0][ws[1]]++;
-    cnt.right[0][ws[0]]++;
+  }
+
+  // modified-KN bigram counts: continuation counts N1+(* a b), except
+  // contexts starting with <s> where raw counts stay (Chen & Goodman —
+  // <s> can never be a continuation, so its bigrams would vanish)
+  std::unordered_map<std::string, uint64_t> bi_kn;
+  for (const auto& kv : cnt.c[1]) {
+    auto ws = SplitWs(kv.first);
+    if (ws[0] == kBOS) {
+      bi_kn[kv.first] = kv.second;
+    } else {
+      auto it = cnt.cont[1].find(kv.first);
+      if (it != cnt.cont[1].end()) bi_kn[kv.first] = it->second;
+    }
   }
 
   Discounts d3 = EstimateDiscounts(cnt.c[2]);
-  Discounts d2 = EstimateDiscounts(cnt.c[1]);
+  Discounts d2 = EstimateDiscounts(bi_kn);
 
   // ---- unigram distribution from continuation counts (KN) ----
   uint64_t total_cont = 0;
@@ -175,7 +185,7 @@ int Train(const char* text_path, const char* out_path) {
   // context totals for bigrams
   std::unordered_map<std::string, uint64_t> uni_ctx_total;
   std::unordered_map<std::string, std::array<uint64_t, 3>> uni_ctx_nn;
-  for (const auto& kv : cnt.c[1]) {
+  for (const auto& kv : bi_kn) {
     auto ws = SplitWs(kv.first);
     uni_ctx_total[ws[0]] += kv.second;
     auto& nn = uni_ctx_nn[ws[0]];
@@ -183,7 +193,7 @@ int Train(const char* text_path, const char* out_path) {
     else if (kv.second == 2) nn[1]++;
     else nn[2]++;
   }
-  for (const auto& kv : cnt.c[1]) {
+  for (const auto& kv : bi_kn) {
     auto ws = SplitWs(kv.first);
     double tot = double(uni_ctx_total[ws[0]]);
     double disc = Discount(d2, kv.second);
@@ -288,6 +298,11 @@ bool LoadArpa(const char* path, Lm* lm) {
       size_t dash = line.find("-grams:");
       if (dash != std::string::npos) {
         cur = std::atoi(line.c_str() + 1) - 1;
+        if (cur < 0 || cur >= 9) {
+          std::cerr << "unsupported LM order " << (cur + 1)
+                    << " (max 9)\n";
+          return false;
+        }
         lm->order = std::max(lm->order, cur + 1);
       }
       continue;

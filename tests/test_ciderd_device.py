@@ -49,7 +49,7 @@ def _random_rollout(g, bs):
         L = int(g.integers(1, MAXLEN + 1))
         seq[i, :L] = g.integers(4, 25, size=L)
         if L < MAXLEN or g.random() < 0.5:
-            pos = min(L - 1, MAXLEN - 1) if L == MAXLEN else L - 1
+            pos = L - 1
             if g.random() < 0.8:
                 seq[i, pos] = EOS
     return seq

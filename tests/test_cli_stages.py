@@ -111,9 +111,13 @@ def _opts(**kw):
                 max_seq_len=8, seed=0, **kw)
 
 
+def _epoch_of(path):
+    return int(os.path.basename(path).split("_")[1].split(".")[0])
+
+
 def _promote_best(stage_dir):
     ckpts = sorted(glob.glob(os.path.join(stage_dir, "model_*.ckpt")),
-                   key=os.path.getmtime)
+                   key=_epoch_of)
     assert ckpts, f"no checkpoints in {stage_dir}"
     shutil.copy(ckpts[-1], os.path.join(stage_dir, "model-best.ckpt"))
 
@@ -125,8 +129,7 @@ def test_a_concept_stage(workdir):
     assert ck
 
     # batch concept detection writes img_det_concepts.json for ALL images
-    detect_concepts.run(_opts(eval_model=sorted(
-        ck, key=os.path.getmtime)[-1]))
+    detect_concepts.run(_opts(eval_model=sorted(ck, key=_epoch_of)[-1]))
     det = json.load(open("data/captions/coco/img_det_concepts.json"))
     n_expected = sum(N_IMG.values()) + sum(N_SENTI_IMG.values())
     assert len(det) == n_expected
@@ -134,7 +137,7 @@ def test_a_concept_stage(workdir):
     assert all(w in CONCEPTS for v in det.values() for w in v)
 
     # single-image smoke test prints a wrong rate
-    test_cpt.run(_opts(test_model=sorted(ck, key=os.path.getmtime)[-1]))
+    test_cpt.run(_opts(test_model=sorted(ck, key=_epoch_of)[-1]))
 
 
 def test_b_senti_detector_stage(workdir):
@@ -184,7 +187,7 @@ def test_e_rl_stage(workdir):
         json.dump({"positive": {"happy": 1.0}, "negative": {"sad": 1.0}}, f)
 
     senti_ck = sorted(glob.glob("checkpoint/sentiment/model_*.ckpt"),
-                      key=os.path.getmtime)[-1]
+                      key=_epoch_of)[-1]
     train_rl.train(_opts(rl_epochs=1, rl_bs=6, beam_size=2,
                          rl_senti_resume=senti_ck, rl_senti_times=1,
                          img_senti_labels="data/captions/"

@@ -97,8 +97,7 @@ def test_xe_train_step_decreases_loss(settings):
 
     batch = _cap_batch(g, 16, settings)
     scs = _scs_batch(g, 16, settings)
-    sbatch = pmesh.shard_batch(m, {k: v for k, v in batch.items()
-                                   if k != "fns"})
+    sbatch = pmesh.shard_batch(m, batch)
     sscs = pmesh.shard_batch(m, scs)
 
     losses0 = None
