@@ -1,0 +1,145 @@
+"""Single-command serving: caption image files end-to-end.
+
+The reference has no one-shot inference command — users chain preprocess
+(feature extraction), detect_concepts, preprocessing's det_sentiments and
+then drive Detector.sample from inside train_rl's test loop. This CLI
+composes the full inference DAG (SURVEY.md §3.4-3.5) in one process:
+
+    raw image -> patched ResNet-101 (fc, att)
+              -> concept detector (top-5 concept words)
+              -> noun->sentiment-word table (ranked senti words)
+              -> image sentiment detector (or a forced label)
+              -> sentiment-conditioned batched beam search
+
+    python caption.py -i img1.jpg img2.jpg \\
+        --rl_model checkpoint/rl/coco/part/model_29.ckpt \\
+        --concept_model checkpoint/concept/coco/model-best.ckpt \\
+        --resnet101_ckpt resnet101.ckpt \\
+        [--sentiment auto|positive|negative|neutral] [--beam_size 3]
+
+Prints one JSON line per image: {"image", "sentiment", "caption", "score"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import inference, preprocessing
+from ..config import Settings
+from ..models import captioner as cap
+from ..models import concept_detector as cpt_det
+from ..models import encoder as enc
+from ..models import sentiment_detector as senti_det
+from ..preprocessing import _rank_sentis
+from ..training import checkpoint as ckpt
+from ..vocab import Vocab
+from . import common
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-i", "--images", nargs="+", required=True)
+    p.add_argument("--rl_model", type=str, required=True,
+                   help="composite RL checkpoint (captioner + detectors)")
+    p.add_argument("--concept_model", type=str, required=True)
+    p.add_argument("--resnet101_ckpt", type=str, required=True,
+                   help="converted encoder checkpoint "
+                        "(convert_checkpoint.py resnet101 ...)")
+    p.add_argument("--sentiment_detector_json", type=str,
+                   default="./data/corpus/part/sentiment_detector.json")
+    p.add_argument("--sentiment", type=str, default="auto",
+                   choices=["auto", "positive", "negative", "neutral"])
+    p.add_argument("--beam_size", type=int, default=3)
+    p.add_argument("--max_seq_len", type=int, default=16)
+    p.add_argument("--num_concepts", type=int, default=5)
+    p.add_argument("--num_sentiments", type=int, default=10)
+    return p
+
+
+def load_models(a):
+    meta = ckpt.load_metadata(a.rl_model)
+    settings = Settings.from_dict(meta["settings"])
+    vocab = Vocab(meta["idx2word"])
+    cats = meta["sentiment_categories"]
+    composite = {
+        "captioner": cap.init_params(jax.random.PRNGKey(0), len(vocab),
+                                     len(cats), settings),
+        "senti_detector": senti_det.init_params(jax.random.PRNGKey(1),
+                                                len(cats), settings),
+        "sent_senti_cls": None,
+    }
+    loaded, _, _ = ckpt.load(a.rl_model, {
+        k: v for k, v in composite.items() if v is not None})
+    cmeta = ckpt.load_metadata(a.concept_model)
+    idx2concept = cmeta["idx2concept"]
+    cpt_params, _, _ = ckpt.load(
+        a.concept_model,
+        cpt_det.init_params(jax.random.PRNGKey(2), len(idx2concept),
+                            Settings.from_dict(cmeta["settings"])))
+    enc_params, _, _ = ckpt.load(a.resnet101_ckpt, enc.init_params(
+        jax.random.PRNGKey(3)))
+    return (settings, vocab, cats, loaded["captioner"],
+            loaded["senti_detector"], cpt_params, idx2concept, enc_params)
+
+
+def run(a) -> list:
+    (settings, vocab, cats, cap_params, senti_params, cpt_params,
+     idx2concept, enc_params) = load_models(a)
+    ids = common.token_ids(vocab, cats)
+    with open(a.sentiment_detector_json) as f:
+        senti_table = json.load(f)
+
+    enc_fwd = jax.jit(lambda p, x: enc.forward_batch(p, x))
+    serve = inference.make_serving_fn(settings, ids, a.beam_size,
+                                      a.max_seq_len)
+
+    results = []
+    for path in a.images:
+        img = preprocessing.load_image(path)
+        x = enc.preprocess(img)
+        fc, att = enc_fwd(enc_params, x[None])
+
+        _, top_idx, _ = cpt_det.sample(cpt_params, fc, a.num_concepts)
+        concepts = [idx2concept[k] for k in np.asarray(top_idx)[0]]
+        senti_words = _rank_sentis(concepts, senti_table)[:a.num_sentiments]
+        sentis = np.full((1, a.num_sentiments), vocab.pad_id, np.int32)
+        enc_ids = vocab.encode_filter(senti_words)
+        sentis[0, :len(enc_ids)] = enc_ids
+
+        sparams = inference.ServingParams(captioner=cap_params,
+                                          senti_detector=senti_params)
+        if a.sentiment == "auto":
+            seqs, scores, labels = serve(sparams, fc, att,
+                                         jnp.asarray(sentis))
+            label = int(np.asarray(labels)[0])
+        else:
+            label = cats.index(a.sentiment)
+            ctx, _ = cap.build_visual_context(
+                cap_params, fc, att, settings.dropout_p,
+                jax.random.PRNGKey(0), True, senti_words=jnp.asarray(sentis),
+                senti_labels=jnp.full((1,), label, jnp.int32),
+                pad_id=ids.pad)
+            from ..ops import beam
+            seqs, scores = beam.beam_search_batched(
+                cap_params, ctx, settings=settings, ids=ids,
+                beam_size=a.beam_size, max_seq_len=a.max_seq_len, mode="rl")
+        rec = {"image": os.path.basename(path),
+               "sentiment": cats[label],
+               "caption": vocab.decode_to_text(np.asarray(seqs)[0, 0]),
+               "score": float(np.asarray(scores)[0, 0])}
+        results.append(rec)
+        print(json.dumps(rec))
+    return results
+
+
+def main(argv=None):
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

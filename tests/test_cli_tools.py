@@ -89,3 +89,61 @@ def test_eval_metrics_table(tmp_path, monkeypatch, capsys):
     for senti in table:
         assert table[senti]["Bleu-1"] == pytest.approx(100.0, abs=0.1)
         assert table[senti]["CIDEr-D"] > 0
+
+
+def test_caption_cli_end_to_end(tmp_path):
+    """Cold-start serving: raw image file -> caption, through the real CLI
+    composition (encoder -> concepts -> senti words -> detect -> beam)."""
+    from PIL import Image
+    from insenticap_model_tpu.cli import caption as caption_cli
+    from insenticap_model_tpu.models import (captioner as cap,
+                                             concept_detector as cpt_det,
+                                             encoder as enc,
+                                             sentiment_detector as senti_det)
+    from insenticap_model_tpu.training import checkpoint as ckpt
+
+    settings = Settings(word_emb_dim=16, fc_feat_dim=2048, att_feat_dim=2048,
+                        feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
+                        concept_mid_dim=24)
+    words = ["<PAD>", "<UNK>", "<SOS>", "<EOS>", "dog", "cat", "happy",
+             "sad", "runs", "sits"]
+    cats = SENTI_CATS
+    concepts = ["dog", "cat", "runs", "sits"]
+
+    comp = {"captioner": cap.init_params(jax.random.PRNGKey(0), len(words),
+                                         3, settings),
+            "senti_detector": senti_det.init_params(jax.random.PRNGKey(1),
+                                                    3, settings)}
+    ckpt.save(str(tmp_path / "rl.ckpt"), comp, None, {
+        "epoch": 0, "settings": settings.to_dict(), "idx2word": words,
+        "sentiment_categories": cats, "max_seq_len": 8})
+    ckpt.save(str(tmp_path / "cpt.ckpt"),
+              cpt_det.init_params(jax.random.PRNGKey(2), len(concepts),
+                                  settings), None,
+              {"epoch": 0, "settings": settings.to_dict(),
+               "idx2concept": concepts})
+    ckpt.save(str(tmp_path / "resnet.ckpt"),
+              enc.init_params(jax.random.PRNGKey(3)), None, {"epoch": -1})
+    (tmp_path / "senti_det.json").write_text(json.dumps(
+        {"dog": [["happy", 0.5]], "cat": [["sad", 0.4]]}))
+
+    g = np.random.default_rng(0)
+    img = tmp_path / "test.jpg"
+    Image.fromarray(g.integers(0, 255, size=(64, 64, 3)).astype(
+        np.uint8)).save(img)
+
+    for senti in ("auto", "positive"):
+        out = caption_cli.run(caption_cli.build_parser().parse_args([
+            "-i", str(img), "--rl_model", str(tmp_path / "rl.ckpt"),
+            "--concept_model", str(tmp_path / "cpt.ckpt"),
+            "--resnet101_ckpt", str(tmp_path / "resnet.ckpt"),
+            "--sentiment_detector_json", str(tmp_path / "senti_det.json"),
+            "--sentiment", senti, "--max_seq_len", "6", "--beam_size", "2",
+            "--num_concepts", "2", "--num_sentiments", "4"]))
+        assert len(out) == 1
+        rec = out[0]
+        assert rec["image"] == "test.jpg"
+        assert rec["sentiment"] in cats
+        assert isinstance(rec["caption"], str)
+        if senti != "auto":
+            assert rec["sentiment"] == senti
