@@ -40,7 +40,8 @@ def test_host_sharding_disjoint():
     items = list(range(20))
     shards = [Loader(items, 2, _collate, shuffle=False, drop_last=False,
                      shard=(i, 4)) for i in range(4)]
-    seen = [int(v) for ld in shards for b in ld for v in b["x"]]
+    seen = [int(v) for ld in shards for b in ld
+            for v in b["x"][:b["valid"]]]
     assert sorted(seen) == items  # disjoint and complete
 
 
