@@ -20,6 +20,7 @@ from typing import Dict, List
 from .. import text
 from ..rewards.bleu import Bleu
 from ..rewards.ciderd import CiderD
+from ..rewards.meteor import Meteor
 
 SENTIS = ["positive", "negative", "neutral"]
 
@@ -59,13 +60,16 @@ def compute_metrics(result_prefix: str, data_type: str,
         bleu, _ = Bleu(4).compute_score(gts, res)
         cider = CiderD(refs=list(gts.values()))
         c_score, _ = cider.compute_score(gts, res)
+        m_score, _ = Meteor().compute_score(gts, res)
         table[senti] = {
             "Bleu-1": bleu[0] * 100, "Bleu-2": bleu[1] * 100,
             "Bleu-3": bleu[2] * 100, "Bleu-4": bleu[3] * 100,
+            "METEOR*": m_score * 100,  # METEOR-lite (exact+stem stages)
             "CIDEr-D": c_score * 100, "n": len(res),
         }
 
-    metrics = ["Bleu-1", "Bleu-2", "Bleu-3", "Bleu-4", "CIDEr-D"]
+    metrics = ["Bleu-1", "Bleu-2", "Bleu-3", "Bleu-4", "METEOR*",
+               "CIDEr-D"]
     header = "Metric    " + "".join(f"{s:>12}" for s in table)
     print(header)
     for m in metrics:
