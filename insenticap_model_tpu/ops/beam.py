@@ -8,10 +8,13 @@ images in one fused batched decode step, selection is iterative-argmax top-k
 ``lax.top_k`` over 10k vocab lowers to a sort and dominated the decode at
 ~13x the greedy cost), and the whole loop is one ``lax.scan`` that emits
 (word, parent) per step; sequences are reconstructed by a reverse backtrack
-scan. Candidates run as [bs*beam] rows through the shared fused decode_step
-(a broadcast-attention variant that avoided tiling the context de-fused
-badly at large batch and lost to plain tiled rows). This is the
-serving-path hot loop (BASELINE.md north star: captions/sec/chip at beam=3).
+scan. Candidates run as [bs*beam] rows through the fused decode cell; on
+TPU the content attention uses the beam-shared pallas kernel
+(ops/fused_attention) that reads each image's att/p_att from HBM once per
+step instead of once per beam — measured ~25% faster beam decode (a pure-XLA
+broadcast variant de-fused badly and lost to tiled rows; the kernel wins
+because the share happens in VMEM). This is the serving-path hot loop
+(BASELINE.md north star: captions/sec/chip at beam=3).
 
 Semantics preserved from the reference (SURVEY.md §7 hard part 2, §8.10):
   * ranking by **sum** of logprobs, no length normalization;
@@ -27,8 +30,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .. import nn
 from ..models.captioner import (DecodeContext, DecodeState, TokenIds,
-                                decode_cell, decode_step)
+                                decode_cell, embed_word, senti_attention)
 
 NEG_INF = -1e30  # finite sentinel: -inf arithmetic breaks tie handling
 
@@ -50,6 +54,41 @@ def _tile_ctx(ctx: DecodeContext, B: int) -> DecodeContext:
     def rep(x):
         return None if x is None else jnp.repeat(x, B, axis=0)
     return DecodeContext(*(rep(f) for f in ctx))
+
+
+def _decode_cell_shared_att(params, sctx: DecodeContext, att, p_att,
+                            state: DecodeState, last_flat, *, mode: str,
+                            B: int, tile_b: int):
+    """decode_cell with the beam-shared pallas content attention: sctx holds
+    the beam-TILED small fields (fc, senti_word, p_senti_word, senti_label)
+    while att/p_att stay per-image [bs, N, ...] and are read from HBM once
+    per step instead of once per beam (ops/fused_attention)."""
+    from . import fused_attention as fa
+    xt = embed_word(params, last_flat)
+    if sctx.senti_label is not None:
+        xt = xt + sctx.senti_label
+    a_in = jnp.concatenate([state.h_lang, sctx.fc, xt], axis=1)
+    h_att, c_att = nn.lstm_cell(params["att_lstm"], a_in,
+                                (state.h_att, state.c_att))
+    p_attn = params["attention"]
+    cont_res = fa.beam_content_attention(h_att, p_attn["cont"], att, p_att,
+                                         B=B, tile_b=tile_b)
+    if mode == "xe":
+        att_res = cont_res
+    else:  # rl: sigmoid-gated fusion (captioner.py:105-118)
+        senti_res, _ = senti_attention(p_attn["senti"], h_att,
+                                       sctx.senti_word, sctx.p_senti_word,
+                                       sctx.senti_label)
+        f = p_attn["fuse"]
+        gate = (nn.linear(f["cont2att"], cont_res)
+                + nn.linear(f["senti2att"], senti_res)
+                + nn.linear(f["h2att"], h_att))
+        gate = jax.nn.sigmoid(nn.linear(f["att_alpha"], jnp.tanh(gate)))
+        att_res = gate * cont_res + (1.0 - gate) * senti_res
+    l_in = jnp.concatenate([att_res, h_att], axis=1)
+    h_lang, c_lang = nn.lstm_cell(params["lang_lstm"], l_in,
+                                  (state.h_lang, state.c_lang))
+    return h_lang, DecodeState(h_att, c_att, h_lang, c_lang)
 
 
 def _topk_argmax(x, k: int):
@@ -101,6 +140,16 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
 
     bctx = _tile_ctx(ctx, B)
 
+    # beam-shared content attention (pallas): read att/p_att once per step
+    # instead of once per beam; opt-out via ISC_FUSED_ATT=0
+    import os as _os
+    fa_tile = 8 if bs % 8 == 0 else (4 if bs % 4 == 0 else 0)
+    use_fa = (ctx.att is not None and mode in ("xe", "rl") and fa_tile > 0
+              and jax.default_backend() == "tpu"
+              and _os.environ.get("ISC_FUSED_ATT", "1") == "1")
+    if use_fa:
+        sctx = bctx._replace(att=None, p_att=None)
+
     # Optional fused pallas classifier+log_softmax+ban+topk
     # (ops/fused_topk). Standalone the kernel beats the XLA op chain by
     # ~18% (0.54 vs 0.66 ms at serving shapes), but inside the scan the
@@ -122,23 +171,29 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
             w = jnp.pad(w, ((0, 0), (0, Vp - V)))
             bias = jnp.pad(bias, (0, Vp - V), constant_values=NEG_INF)
 
+    def _cell(state, last_flat):
+        if use_fa:
+            return _decode_cell_shared_att(
+                params, sctx, ctx.att, ctx.p_att, state, last_flat,
+                mode=mode, B=B, tile_b=fa_tile)
+        out, new_state, _ = decode_cell(
+            params, bctx, state, last_flat, mode=mode, dropout_p=0.0,
+            drop_key=jax.random.PRNGKey(0), deterministic=True)
+        return out, new_state
+
     def step_fn(carry, t):
         state, scores, last = carry
         if use_fused:
-            out, new_state, _ = decode_cell(
-                params, bctx, state, last.reshape(-1), mode=mode,
-                dropout_p=0.0, drop_key=jax.random.PRNGKey(0),
-                deterministic=True)
+            out, new_state = _cell(state, last.reshape(-1))
             last_flat = last.reshape(-1) if decoding_constraint else \
                 jnp.full((rows,), -1, jnp.int32)
             topv2, topi2 = fused_topk.classifier_topk(
                 out, w, bias, last_flat, k=B, banned=tuple(ban_static),
                 tile_r=tile_r)
         else:
-            logprobs, new_state, _ = decode_step(
-                params, bctx, state, last.reshape(-1), mode=mode,
-                dropout_p=0.0, drop_key=jax.random.PRNGKey(0),
-                deterministic=True)
+            out, new_state = _cell(state, last.reshape(-1))
+            logprobs = nn.log_softmax(
+                nn.linear(params["classifier"], out))
             logprobs = logprobs.astype(jnp.float32)          # [bs*B, V]
             for tok in ban_static:
                 logprobs = logprobs.at[:, tok].set(NEG_INF)

@@ -53,3 +53,24 @@ def test_vocab_padding_tail_never_wins():
     rv, ri = jax.lax.top_k(lp, 3)
     np.testing.assert_array_equal(np.asarray(oi), np.asarray(ri))
     np.testing.assert_allclose(np.asarray(ov), np.asarray(rv), atol=1e-5)
+
+
+def test_beam_content_attention_matches_reference():
+    """Beam-shared attention kernel (interpret mode) vs the tiled-rows
+    content_attention it replaces."""
+    from insenticap_model_tpu import nn
+    from insenticap_model_tpu.models.captioner import content_attention
+    from insenticap_model_tpu.ops.fused_attention import (
+        beam_content_attention)
+    g = np.random.default_rng(0)
+    bs, B, N, H1, Ah, Fe = 8, 3, 49, 32, 32, 32
+    p_cont = {"h2att": nn.linear_init(jax.random.PRNGKey(0), H1, Ah),
+              "att_alpha": nn.linear_init(jax.random.PRNGKey(1), Ah, 1)}
+    h = jnp.asarray(g.normal(size=(bs * B, H1)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, N, Fe)), jnp.float32)
+    p_att = jnp.asarray(g.normal(size=(bs, N, Ah)), jnp.float32)
+    out = beam_content_attention(h, p_cont, att, p_att, B=B, tile_b=4,
+                                 interpret=True)
+    ref, _ = content_attention(p_cont, h, jnp.repeat(att, B, 0),
+                               jnp.repeat(p_att, B, 0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
