@@ -44,7 +44,7 @@ def main():
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
             params)
 
-    bs = 128 if jax.default_backend() == "tpu" else 8  # measured sweet spot
+    bs = 384 if jax.default_backend() == "tpu" else 8  # measured sweet spot
     g = np.random.default_rng(0)
     fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), dtype)
     att = jnp.asarray(g.normal(size=(bs, 14, 14, settings.att_feat_dim)),
