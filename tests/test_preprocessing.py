@@ -200,3 +200,35 @@ def test_native_store_exact_fp16(tmp_path):
     out = st.batch(fns)
     ref = np.stack([data[f].astype(np.float32) for f in fns])
     np.testing.assert_array_equal(out, ref)  # widening must be exact
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(NATIVE, "isclm")),
+                    reason="native isclm not built")
+def test_eval_ppl_cli(tmp_path, monkeypatch):
+    """eval_ppl end-to-end: train per-sentiment LMs with isclm, score
+    generated word-form captions, in-domain < shuffled."""
+    from insenticap_model_tpu.cli import eval_ppl
+    monkeypatch.chdir(tmp_path)
+    lm_dir = tmp_path / "data/captions/coco/part/lm"
+    lm_dir.mkdir(parents=True)
+    g = np.random.default_rng(0)
+    sents = ["the dog runs in the park", "a cat sits on the mat"]
+    for senti in ("positive", "negative", "neutral"):
+        with open(lm_dir / f"{senti}_w.txt", "w") as f:
+            for _ in range(300):
+                f.write(sents[int(g.integers(2))] + "\n")
+        subprocess.run([os.path.join(NATIVE, "isclm"), "train",
+                        str(lm_dir / f"{senti}_w.txt"),
+                        str(lm_dir / f"{senti}_w.sri")], check=True)
+    # generated result files: in-domain captions
+    for senti in ("positive", "negative", "neutral"):
+        with open(tmp_path / f"result_0_{senti}_fact_w.txt", "w") as f:
+            f.write(sents[0] + "\n")
+    scores = eval_ppl.compute_ppl(str(tmp_path / "result_0"), "fact")
+    assert all(0 < v < 5 for v in scores.values()), scores
+    # shuffled captions score worse
+    for senti in ("positive", "negative", "neutral"):
+        with open(tmp_path / f"result_1_{senti}_fact_w.txt", "w") as f:
+            f.write("park the dog mat in runs a\n")
+    bad = eval_ppl.compute_ppl(str(tmp_path / "result_1"), "fact")
+    assert all(bad[s] > scores[s] for s in scores)
