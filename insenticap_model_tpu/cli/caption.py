@@ -97,13 +97,24 @@ def run(a) -> list:
     enc_fwd = jax.jit(lambda p, x: enc.forward_batch(p, x))
     serve = inference.make_serving_fn(settings, ids, a.beam_size,
                                       a.max_seq_len)
+    serve_forced = inference.make_forced_serving_fn(
+        settings, ids, a.beam_size, a.max_seq_len)
+
+    # encoder pass bucketed by exact image shape: one ResNet compile per
+    # distinct (H, W) instead of per image (compiles are minutes-slow)
+    feats = {}
+    buckets = {}
+    for path in a.images:
+        x = enc.preprocess(preprocessing.load_image(path))
+        buckets.setdefault(x.shape, []).append((path, x))
+    for shape, group in buckets.items():
+        fc, att = enc_fwd(enc_params, np.stack([x for _, x in group]))
+        for i, (path, _) in enumerate(group):
+            feats[path] = (fc[i:i + 1], att[i:i + 1])
 
     results = []
     for path in a.images:
-        img = preprocessing.load_image(path)
-        x = enc.preprocess(img)
-        fc, att = enc_fwd(enc_params, x[None])
-
+        fc, att = feats[path]
         _, top_idx, _ = cpt_det.sample(cpt_params, fc, a.num_concepts)
         concepts = [idx2concept[k] for k in np.asarray(top_idx)[0]]
         senti_words = _rank_sentis(concepts, senti_table)[:a.num_sentiments]
@@ -111,23 +122,17 @@ def run(a) -> list:
         enc_ids = vocab.encode_filter(senti_words)
         sentis[0, :len(enc_ids)] = enc_ids
 
-        sparams = inference.ServingParams(captioner=cap_params,
-                                          senti_detector=senti_params)
         if a.sentiment == "auto":
+            sparams = inference.ServingParams(captioner=cap_params,
+                                              senti_detector=senti_params)
             seqs, scores, labels = serve(sparams, fc, att,
                                          jnp.asarray(sentis))
             label = int(np.asarray(labels)[0])
         else:
             label = cats.index(a.sentiment)
-            ctx, _ = cap.build_visual_context(
-                cap_params, fc, att, settings.dropout_p,
-                jax.random.PRNGKey(0), True, senti_words=jnp.asarray(sentis),
-                senti_labels=jnp.full((1,), label, jnp.int32),
-                pad_id=ids.pad)
-            from ..ops import beam
-            seqs, scores = beam.beam_search_batched(
-                cap_params, ctx, settings=settings, ids=ids,
-                beam_size=a.beam_size, max_seq_len=a.max_seq_len, mode="rl")
+            seqs, scores = serve_forced(
+                cap_params, fc, att, jnp.asarray(sentis),
+                jnp.full((1,), label, jnp.int32))
         rec = {"image": os.path.basename(path),
                "sentiment": cats[label],
                "caption": vocab.decode_to_text(np.asarray(seqs)[0, 0]),

@@ -30,11 +30,14 @@ class Loader:
             raise ValueError("empty dataset")
         if shard is not None:
             # multi-host data parallelism: each process reads a disjoint
-            # stripe (same seed everywhere keeps epochs aligned)
+            # stripe, truncated to floor(n/count) so every host sees the
+            # SAME number of items/batches — unequal stripes would let one
+            # host run a collective-bearing step the others never join
             idx, count = shard
-            items = items[idx::count]
-            if not items:
+            per = len(items) // count
+            if per == 0:
                 raise ValueError(f"shard {idx}/{count} is empty")
+            items = items[idx::count][:per]
         self.items = items
         self.batch_size = batch_size
         self.collate = collate

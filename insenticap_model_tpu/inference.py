@@ -114,3 +114,20 @@ def make_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
                                  ids=ids, beam_size=beam_size,
                                  max_seq_len=max_seq_len)
     return fn
+
+
+def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
+                           max_seq_len: int = 16):
+    """Jitted sentiment-FORCED beam decode: like detect_and_decode but the
+    label comes from the caller instead of the image detector (the paper's
+    controllable-sentiment mode)."""
+    @jax.jit
+    def fn(cap_params, fc, att, sentis, senti_labels):
+        ctx, _ = cap.build_visual_context(
+            cap_params, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
+            True, senti_words=sentis, senti_labels=senti_labels,
+            pad_id=ids.pad)
+        return beam.beam_search_batched(
+            cap_params, ctx, settings=settings, ids=ids,
+            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
+    return fn

@@ -25,6 +25,7 @@ Semantics preserved from the reference (SURVEY.md §7 hard part 2, §8.10):
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -142,11 +143,10 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
 
     # beam-shared content attention (pallas): read att/p_att once per step
     # instead of once per beam; opt-out via ISC_FUSED_ATT=0
-    import os as _os
     fa_tile = 8 if bs % 8 == 0 else (4 if bs % 4 == 0 else 0)
     use_fa = (ctx.att is not None and mode in ("xe", "rl") and fa_tile > 0
               and jax.default_backend() == "tpu"
-              and _os.environ.get("ISC_FUSED_ATT", "1") == "1")
+              and os.environ.get("ISC_FUSED_ATT", "1") == "1")
     if use_fa:
         sctx = bctx._replace(att=None, p_att=None)
 
@@ -156,7 +156,6 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
     # pallas_call blocks XLA's cross-step fusion and the end-to-end path
     # measured ~5% slower (8170 vs 8601 captions/s) — so the XLA path is
     # the default and the kernel is opt-in via ISC_FUSED_TOPK=1.
-    import os
     rows = bs * B
     tile_r = _fused_rows(rows)
     use_fused = (tile_r > 0 and jax.default_backend() == "tpu"
@@ -192,8 +191,12 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
                 tile_r=tile_r)
         else:
             out, new_state = _cell(state, last.reshape(-1))
-            logprobs = nn.log_softmax(
-                nn.linear(params["classifier"], out))
+            # f32 logits + normalizer even with bf16 params (matching the
+            # fused kernel): bf16 log_softmax reorders near-tie candidates
+            logits = jnp.dot(out, params["classifier"]["w"],
+                             preferred_element_type=jnp.float32) \
+                + params["classifier"]["b"].astype(jnp.float32)
+            logprobs = nn.log_softmax(logits)
             logprobs = logprobs.astype(jnp.float32)          # [bs*B, V]
             for tok in ban_static:
                 logprobs = logprobs.at[:, tok].set(NEG_INF)

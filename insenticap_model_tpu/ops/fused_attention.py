@@ -51,7 +51,8 @@ def _kernel(h_ref, patt_ref, att_ref, w_ref, b_ref, aw_ref,
 @functools.partial(jax.jit, static_argnames=("B", "tile_b", "interpret"))
 def beam_content_attention(h, p_cont, att, p_att, *, B: int,
                            tile_b: int = 8, interpret: bool = False):
-    """h [bs*B, H] (beam-major rows), p_cont = params['attention']['cont'],
+    """h [bs*B, H] in IMAGE-major row order (row = image*B + beam, as
+    produced by jnp.repeat tiling), p_cont = params['attention']['cont'],
     att/p_att [bs, N, Fe/Ah] UNtiled. Returns att_res [bs*B, Fe].
     bs must be a multiple of tile_b."""
     bs = att.shape[0]

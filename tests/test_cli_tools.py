@@ -151,17 +151,20 @@ def test_caption_cli_end_to_end(tmp_path):
 
 def test_meteor_lite():
     from insenticap_model_tpu.rewards.meteor import Meteor, score_sentence
-    # exact match scores near 1 (chunks=1 penalty is gamma*(1/m)^3, small)
     ref = "a dog runs in the park".split()
-    assert score_sentence(ref, [ref]) > 0.95
-    # stem stage: running vs runs still matches
+    exact = score_sentence(ref, [ref])
+    # Meteor 1.5's fragmentation penalty caps even perfect matches well
+    # below 1 (gamma*(1/m)^beta with beta=0.2) — COCO-scale scores ~0.25
+    assert 0.5 < exact <= 1.0
+    # stem stage: running vs runs still matches, slightly discounted
     hyp = "a dog running in the park".split()
-    assert score_sentence(hyp, [ref]) > 0.8
-    # unrelated caption scores near 0
+    stem = score_sentence(hyp, [ref])
+    assert 0.0 < stem < exact
+    # unrelated caption scores 0
     assert score_sentence("purple elephants fly".split(), [ref]) == 0.0
     # word-salad of the same tokens is penalized vs the ordered hypothesis
     salad = "park the in runs dog a".split()
-    assert score_sentence(salad, [ref]) < score_sentence(ref, [ref])
+    assert score_sentence(salad, [ref]) < exact
     m, scores = Meteor().compute_score(
         {"i": [ref]}, [{"image_id": "i", "caption": [tuple(hyp)]}])
     assert 0 < m <= 1 and len(scores) == 1
