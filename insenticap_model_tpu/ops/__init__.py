@@ -1,2 +1,5 @@
-from . import beam  # noqa: F401
 from . import adaptive_pool  # noqa: F401
+from . import beam  # noqa: F401
+from . import ciderd_device  # noqa: F401
+from . import fused_attention  # noqa: F401
+from . import fused_topk  # noqa: F401
