@@ -5,9 +5,9 @@ image sentiment detection (threshold→neutral fallback,
 sentiment_detector.py:47-60) followed by sentiment-conditioned beam search
 (captioner.py:351-420). Unlike the reference — which runs one image at a
 time, one beam candidate at a time — the whole batch decodes in a single
-jitted call: contexts are embedded once, the beam lives as an array axis,
-and `vmap` spreads images. This is the captions/sec/chip hot path
-(BASELINE.md north star).
+jitted call: contexts are embedded once and all images' candidates run as
+flat rows through the fused decode cell (see ops/beam.py and DESIGN.md).
+This is the captions/sec/chip hot path (BASELINE.md north star).
 """
 from __future__ import annotations
 
