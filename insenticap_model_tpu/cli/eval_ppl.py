@@ -29,22 +29,34 @@ def _isclm_binary():
     return None
 
 
-def _ppl_via_ngram(text_file: str, lm_file: str) -> float:
-    out = subprocess.run(["ngram", "-ppl", text_file, "-lm", lm_file],
-                         capture_output=True, text=True).stdout.split()
+def _run_scorer(cmd, text_file: str, lm_file: str) -> float:
+    """Run an LM scorer and parse 'ppl= <value>'. Failures raise (missing
+    text/LM file, scorer crash, unparseable output) — silently returning
+    0.0 would deflate the printed per-sentiment scores and their sum."""
+    for f in (text_file, lm_file):
+        if not os.path.exists(f):
+            raise FileNotFoundError(f"ppl scorer input missing: {f}")
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"{cmd[0]} failed (rc={r.returncode}): "
+                           f"{r.stderr.strip() or r.stdout.strip()}")
+    out = r.stdout.split()
     try:
         return float(out[out.index("ppl=") + 1])
-    except Exception:
-        return 0.0
+    except (ValueError, IndexError) as e:
+        raise RuntimeError(
+            f"could not parse ppl from {cmd[0]} output: "
+            f"{r.stdout.strip()!r}") from e
+
+
+def _ppl_via_ngram(text_file: str, lm_file: str) -> float:
+    return _run_scorer(["ngram", "-ppl", text_file, "-lm", lm_file],
+                       text_file, lm_file)
 
 
 def _ppl_via_isclm(binary: str, text_file: str, lm_file: str) -> float:
-    out = subprocess.run([binary, "ppl", lm_file, text_file],
-                         capture_output=True, text=True).stdout.split()
-    try:
-        return float(out[out.index("ppl=") + 1])
-    except Exception:
-        return 0.0
+    return _run_scorer([binary, "ppl", lm_file, text_file],
+                       text_file, lm_file)
 
 
 def compute_ppl(captions_file_prefix: str, data_type: str) -> dict:

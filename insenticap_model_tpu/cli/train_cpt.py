@@ -85,10 +85,14 @@ def train(opt: Opts):
                     params, opt_state, b,
                     jax.random.fold_in(jax.random.PRNGKey(opt.seed),
                                        epoch * 100000 + i))
+                tot += float(loss)
+                n += 1
             else:
-                loss, _ = eval_step(params, b)
-            tot += float(loss)
-            n += 1
+                # masked sums: eval-padding rows contribute nothing and the
+                # per-row normalization happens once over the whole split
+                loss_sum, cnt, _ = eval_step(params, b)
+                tot += float(loss_sum)
+                n += float(cnt)
         return tot / max(n, 1)
 
     ck_dir = common.ensure_dir(os.path.join(opt.checkpoint, "concept",
@@ -102,10 +106,11 @@ def train(opt: Opts):
         # test: precision/recall@k on ground-truth words
         # (reference train_cpt.py:103-128)
         test_loss = pre = recall = last_score = 0.0
+        test_rows = 0.0
         nb = 0
         for batch in loaders["test"]:
             b = rt.put(batch)
-            loss, _ = eval_step(params, b)
+            loss_sum, cnt, _ = eval_step(params, b)
             _, top_idx, top_scores = sample_step(params, b["fc"])
             top_idx = np.asarray(top_idx)
             valid = batch.get("valid", len(batch["fns"]))
@@ -116,14 +121,16 @@ def train(opt: Opts):
                 inter = len(grdt & cpts)
                 tmp_pre += inter / len(cpts)
                 tmp_rec += inter / len(grdt)
-            test_loss += float(loss)
+            test_loss += float(loss_sum)
+            test_rows += float(cnt)
             pre += tmp_pre / valid
             recall += tmp_rec / valid
             last_score += float(np.asarray(top_scores)[:valid, -1].mean())
             nb += 1
         nb = max(nb, 1)
-        test_loss, pre, recall, last_score = (
-            x / nb for x in (test_loss, pre, recall, last_score))
+        test_loss /= max(test_rows, 1)
+        pre, recall, last_score = (
+            x / nb for x in (pre, recall, last_score))
 
         if previous_loss is not None and val_loss > previous_loss:
             lr *= 0.5

@@ -164,25 +164,43 @@ def train(opt: Opts):
     frozen = steps.RLModels(senti_detector=senti_params,
                             sent_senti_cls=cls_params)
 
-    def run_split(loader, data_type, training, epoch, use_scs):
+    PHASES = {"senti": 0, "fact": 1, "val": 2}
+
+    def run_split(loader, data_type, training, epoch, use_scs, pass_idx=0):
         nonlocal params, opt_state
         import itertools
         agg, n = defaultdict(float), 0
+        sums, cnts = defaultdict(float), defaultdict(float)
+        # rollout keys fold in (epoch, phase, pass, batch) so repeated
+        # passes (rl_senti_times/rl_fact_times > 1) and the senti vs fact
+        # phases never reuse sampling keys — the reference advances its
+        # global RNG continuously, so correlated rollouts would diverge
+        # from its behavior
+        base = jax.random.PRNGKey(opt.seed + 17)
+        phase = PHASES[data_type if training else "val"]
+        for v in (epoch, phase, pass_idx):
+            base = jax.random.fold_in(base, v)
         # cap BEFORE collate/device_put so excess batches are never staged
         capped = itertools.islice(iter(loader), MAX_BATCHES_PER_EPOCH)
         for i, b in enumerate(device_prefetch(capped, rt.put)):
-            key = jax.random.fold_in(jax.random.PRNGKey(opt.seed + 17),
-                                     epoch * 1000000 + i)
+            key = jax.random.fold_in(base, i)
             if training:
                 scs_b = rt.put(scs_data.next()) if use_scs else None
                 params, opt_state, losses = rl[(data_type, True)](
                     params, opt_state, frozen, b, scs_b, key)
+                for k, v in losses.items():
+                    agg[k] += float(v)
+                n += 1
             else:
-                losses = rl[(data_type, False)](params, frozen, b, key)
-            for k, v in losses.items():
-                agg[k] += float(v)
-            n += 1
-        return {k: v / max(n, 1) for k, v in agg.items()}
+                # eval steps return masked (sums, counts); dividing the
+                # aggregates makes val losses invariant to batch padding
+                s, c = rl[(data_type, False)](params, frozen, b, key)
+                for k in s:
+                    sums[k] += float(s[k])
+                    cnts[k] += float(c[k])
+        if training:
+            return {k: v / max(n, 1) for k, v in agg.items()}
+        return {k: sums[k] / max(cnts[k], 1.0) for k in sums}
 
     ck_dir, result_dir = common.stage_dirs(opt, "rl")
     for epoch in range(epoch0, opt.rl_epochs):
@@ -192,11 +210,12 @@ def train(opt: Opts):
         for i in range(opt.rl_senti_times):
             print(f"----------rl_senti_times: {i}")
             loss = run_split(senti_loaders["train"], "senti", True, epoch,
-                             True)
+                             True, pass_idx=i)
             print(f"senti_train_loss: {loss}")
         for i in range(opt.rl_fact_times):
             print(f"----------rl_fact_times: {i}")
-            loss = run_split(fact_train, "fact", True, epoch, True)
+            loss = run_split(fact_train, "fact", True, epoch, True,
+                             pass_idx=i)
             print(f"fact_train_loss: {loss}")
 
         print("----------val")

@@ -117,7 +117,7 @@ def train(opt: Opts):
             s_tot = s_wrong = 0
             for batch in loader:
                 b = rt.put(batch)
-                _, pred = eval_step(params, b)
+                _, _, pred = eval_step(params, b)
                 valid = batch.get("valid", len(batch["labels"]))
                 pred = np.asarray(pred)[:valid]
                 s_wrong += int((pred != batch["labels"][:valid]).sum())

@@ -68,10 +68,13 @@ def train(opt: Opts):
                     params, opt_state, b,
                     jax.random.fold_in(jax.random.PRNGKey(opt.seed),
                                        epoch * 100000 + i))
+                tot += float(loss)
+                n += 1
             else:
-                loss, _ = eval_step(params, b)
-            tot += float(loss)
-            n += 1
+                # masked sums: eval-padding rows contribute nothing
+                loss_sum, cnt, _ = eval_step(params, b)
+                tot += float(loss_sum)
+                n += float(cnt)
         return tot / max(n, 1)
 
     ck_dir = common.ensure_dir(os.path.join(opt.checkpoint, "sentiment"))
@@ -84,7 +87,7 @@ def train(opt: Opts):
         corr = tot = 0
         for batch in loaders["test"]:
             b = rt.put(batch)
-            _, pred = eval_step(params, b)
+            _, _, pred = eval_step(params, b)
             valid = batch.get("valid", len(batch["labels"]))
             pred = np.asarray(pred)[:valid]
             corr += int((pred == batch["labels"][:valid]).sum())

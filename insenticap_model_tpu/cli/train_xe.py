@@ -134,14 +134,18 @@ def train(opt: Opts):
             n += 1
         train_loss = {k: v / max(n, 1) for k, v in agg.items()}
 
-        agg, n = {}, 0
+        # val: aggregate masked SUMS across batches and divide once, so the
+        # padded duplicate rows of the final eval batch contribute nothing
+        # and the result is invariant to how the split is batched
+        sums, cnts = {}, {}
         for i, b in enumerate(device_prefetch(val_data, rt.put)):
-            losses = eval_step(params, cls_params, b,
-                               jax.random.PRNGKey(i))
-            for k, v in losses.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-            n += 1
-        val_loss = {k: v / max(n, 1) for k, v in agg.items()}
+            s, c = eval_step(params, cls_params, b, jax.random.PRNGKey(i))
+            for k in s:
+                sums[k] = sums.get(k, 0.0) + float(s[k])
+                cnts[k] = cnts.get(k, 0.0) + float(c[k])
+        val_loss = {k: sums[k] / max(cnts[k], 1.0) for k in sums}
+        val_loss["cap_loss"] = val_loss["xe_loss"] + val_loss["da_loss"]
+        val_loss["all_loss"] = val_loss["cap_loss"]
 
         # whole-test-split beam dump (train_xe.py:219-232), batched decode
         results = []

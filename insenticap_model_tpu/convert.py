@@ -20,33 +20,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _np(t) -> np.ndarray:
+    """Owning float32 copy of a state_dict tensor. np.asarray on a same-
+    dtype torch tensor returns a VIEW of the live parameter storage, and
+    jnp.asarray on the CPU backend can alias that buffer — without the copy,
+    converted params would silently track subsequent in-place torch
+    optimizer updates."""
+    return np.array(t, np.float32, copy=True)
+
+
 def _lin(sd, name):
-    return {"w": jnp.asarray(np.asarray(sd[name + ".weight"], np.float32).T),
-            "b": jnp.asarray(np.asarray(sd[name + ".bias"], np.float32))}
+    return {"w": jnp.asarray(_np(sd[name + ".weight"]).T),
+            "b": jnp.asarray(_np(sd[name + ".bias"]))}
 
 
 def _emb(sd, name):
-    return {"table": jnp.asarray(np.asarray(sd[name + ".weight"], np.float32))}
+    return {"table": jnp.asarray(_np(sd[name + ".weight"]))}
 
 
 def _lstm(sd, prefix, suffix=""):
     return {
-        "w_ih": jnp.asarray(
-            np.asarray(sd[f"{prefix}.weight_ih{suffix}"], np.float32).T),
-        "w_hh": jnp.asarray(
-            np.asarray(sd[f"{prefix}.weight_hh{suffix}"], np.float32).T),
-        "b_ih": jnp.asarray(
-            np.asarray(sd[f"{prefix}.bias_ih{suffix}"], np.float32)),
-        "b_hh": jnp.asarray(
-            np.asarray(sd[f"{prefix}.bias_hh{suffix}"], np.float32)),
+        "w_ih": jnp.asarray(_np(sd[f"{prefix}.weight_ih{suffix}"]).T),
+        "w_hh": jnp.asarray(_np(sd[f"{prefix}.weight_hh{suffix}"]).T),
+        "b_ih": jnp.asarray(_np(sd[f"{prefix}.bias_ih{suffix}"])),
+        "b_hh": jnp.asarray(_np(sd[f"{prefix}.bias_hh{suffix}"])),
     }
 
 
 def _conv(sd, name):
-    p = {"w": jnp.asarray(
-        np.asarray(sd[name + ".weight"], np.float32).transpose(2, 3, 1, 0))}
+    p = {"w": jnp.asarray(_np(sd[name + ".weight"]).transpose(2, 3, 1, 0))}
     if name + ".bias" in sd:
-        p["b"] = jnp.asarray(np.asarray(sd[name + ".bias"], np.float32))
+        p["b"] = jnp.asarray(_np(sd[name + ".bias"]))
     return p
 
 

@@ -427,19 +427,42 @@ def length_mask(lengths, max_len: int, dtype=jnp.float32):
     return (t < lengths[:, None]).astype(dtype)
 
 
-def xe_criterion(logprobs, targets, lengths):
-    """Length-masked NLL normalized by total unmasked tokens
-    (SURVEY.md §8.4). logprobs [bs,T,V], targets [bs,T], lengths [bs]."""
+def xe_criterion_sums(logprobs, targets, lengths):
+    """(masked NLL sum, unmasked token count) — the sum form of
+    xe_criterion, used for batch-boundary-invariant eval aggregation
+    (rows excluded from eval get lengths==0 and contribute nothing)."""
     T = targets.shape[1]
     mask = length_mask(lengths, T, logprobs.dtype)
     nll = -jnp.take_along_axis(logprobs, targets[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.sum(mask)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def xe_criterion(logprobs, targets, lengths):
+    """Length-masked NLL normalized by total unmasked tokens
+    (SURVEY.md §8.4). logprobs [bs,T,V], targets [bs,T], lengths [bs]."""
+    s, c = xe_criterion_sums(logprobs, targets, lengths)
+    return s / c
+
+
+def reward_criterion_sums(seq_logprobs, seq_masks, rewards):
+    """(sum of -logprob*mask*reward, mask sum) — sum form of
+    reward_criterion."""
+    out = -seq_logprobs * seq_masks * rewards
+    return jnp.sum(out), jnp.sum(seq_masks)
 
 
 def reward_criterion(seq_logprobs, seq_masks, rewards):
     """-logprob * mask * reward, normalized by mask sum."""
-    out = -seq_logprobs * seq_masks * rewards
-    return jnp.sum(out) / jnp.sum(seq_masks)
+    s, c = reward_criterion_sums(seq_logprobs, seq_masks, rewards)
+    return s / c
+
+
+def domain_alignment_sums(cpt_feats, fc_emb, row_mask):
+    """(masked per-row-MSE sum, row count): sum form of
+    domain_alignment_loss over the rows selected by row_mask."""
+    per_row = jnp.mean((cpt_feats - jax.lax.stop_gradient(fc_emb)) ** 2,
+                       axis=-1)
+    return jnp.sum(per_row * row_mask), jnp.sum(row_mask)
 
 
 def domain_alignment_loss(cpt_feats, fc_emb):

@@ -43,12 +43,18 @@ def sample(params, features, num: int):
     return out, top_idx, top_scores
 
 
+def multi_label_loss_rows(result, target):
+    """Per-row form of MultiLabelClsLoss (mean over rows == the reference
+    loss); used for masked eval aggregation that excludes padding rows."""
+    t = target.astype(result.dtype)
+    eps = 1e-12
+    pos = -(t * jnp.log(jnp.maximum(result, eps))).mean(axis=-1)
+    neg = -((1.0 - t) * jnp.log(jnp.maximum(1.0 - result, eps))).mean(axis=-1)
+    return pos + neg
+
+
 def multi_label_loss(result, target):
     """Reference MultiLabelClsLoss (:44-58): -mean(t*log p) - mean((1-t)*log(1-p)),
     each term averaged over both dims. No epsilon — the reference has none;
     we clamp only to avoid -inf on exact 0/1 saturation."""
-    t = target.astype(result.dtype)
-    eps = 1e-12
-    pos = -(t * jnp.log(jnp.maximum(result, eps))).mean()
-    neg = -((1.0 - t) * jnp.log(jnp.maximum(1.0 - result, eps))).mean()
-    return pos + neg
+    return multi_label_loss_rows(result, target).mean()

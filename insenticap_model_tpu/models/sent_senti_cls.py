@@ -88,3 +88,12 @@ def xent_loss(params, seqs, lengths, labels, *, settings, rng,
                         deterministic=deterministic)
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0].mean()
+
+
+def xent_nll_rows(params, seqs, lengths, labels, *, settings):
+    """Per-row CE (deterministic) — masked eval aggregation building
+    block."""
+    logits, _ = forward(params, seqs, lengths, settings=settings,
+                        rng=jax.random.PRNGKey(0), deterministic=True)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]

@@ -89,3 +89,12 @@ def xent_loss(params, features, labels, *, dropout_p: float, rng,
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return nll.mean()
+
+
+def xent_nll_rows(params, features, labels):
+    """Per-row CE (deterministic) — masked eval aggregation building
+    block."""
+    logits, _ = forward(params, features, dropout_p=0.0,
+                        rng=jax.random.PRNGKey(0), deterministic=True)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]

@@ -35,6 +35,16 @@ RL_XE_SS_PROB = 0.5   # reference decoder.py:139
 RL_SEQ_SS_PROB = 0.25  # reference decoder.py:155
 
 
+def _row_mask(batch, bs, dtype=jnp.float32):
+    """1.0 for true rows, 0.0 for the eval loader's padding rows (the final
+    eval batch is padded by repeating the last item and carries 'valid';
+    data/loaders.py). Batches without 'valid' are fully valid."""
+    valid = batch.get("valid")
+    if valid is None:
+        return jnp.ones((bs,), dtype)
+    return (jnp.arange(bs) < valid).astype(dtype)
+
+
 def _pseudo_senti_labels(cls_params, caps, lengths, settings):
     """Frozen ss-cls pseudo labels on ground-truth captions
     (train_xe.py:155-158, decoder.py:133-136)."""
@@ -94,9 +104,26 @@ def make_xe_steps(settings, tx):
 
     @jax.jit
     def eval_step(params, cls_params, batch, rng):
-        _, losses = _losses(params, cls_params, batch, None, rng,
-                            jnp.float32(0.0), deterministic=True)
-        return losses
+        """Masked per-term (sums, counts) for batch-boundary-invariant val
+        aggregation: the Loader's eval-padding duplicate rows contribute
+        nothing, and the CLI divides aggregated sums by aggregated counts,
+        so the val loss is identical however the split is batched (fixes
+        the padded-row double count that biased the reference-style
+        per-batch average; reference val loop: train_xe.py:216-217)."""
+        rmask = _row_mask(batch, batch["caps"].shape[0])
+        lengths = batch["lengths"] * rmask.astype(batch["lengths"].dtype)
+        labels = _pseudo_senti_labels(cls_params, batch["caps"],
+                                      batch["lengths"], settings)
+        logprobs, aux = cap.forward_xe(
+            params, batch["fc"], batch["att"], batch["cpts"], batch["caps"],
+            labels, settings=settings, rng=rng, ss_prob=jnp.float32(0.0),
+            deterministic=True)
+        xe_sum, xe_cnt = cap.xe_criterion_sums(logprobs,
+                                               batch["caps"][:, 1:], lengths)
+        da_sum, da_cnt = cap.domain_alignment_sums(aux["cpt_feats"],
+                                                   aux["fc_emb"], rmask)
+        return ({"xe_loss": xe_sum, "da_loss": da_sum},
+                {"xe_loss": xe_cnt, "da_loss": da_cnt})
 
     return train_step, eval_step
 
@@ -135,7 +162,7 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
     def _forward(params, frozen: RLModels, batch, scs_batch, rng,
                  data_type: str, training: bool):
         k_samp, k_greedy, k_xe, k_s2s = jax.random.split(rng, 4)
-        losses: Dict[str, jnp.ndarray] = {}
+        rmask = _row_mask(batch, batch["fc"].shape[0])
 
         if data_type == "fact" or not training:
             # sentiment labels from the image detector (decoder.py:82-84)
@@ -147,13 +174,27 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
             senti_labels = batch["senti_labels"]
 
         def rollout_loss(params):
+            """Returns (total, (aux_losses, sums, counts)).
+
+            Every term is computed in masked sum form first; the training
+            means divide inside the batch (identical numerics to the
+            reference when all rows are valid — train loaders never pad),
+            while eval aggregates the raw sums across batches so padding
+            rows never bias val losses (VERDICT r1 #4)."""
+            sums: Dict[str, jnp.ndarray] = {}
+            counts: Dict[str, jnp.ndarray] = {}
+            n_rows = jnp.sum(rmask)
+
             sample_seq, sample_lp, sample_masks, aux = cap.forward_rl(
                 params, batch["fc"], batch["att"], batch["cpts"],
                 batch["sentis"], senti_labels, settings=settings, ids=ids,
                 max_seq_len=max_seq_len, sample_max=False, rng=k_samp,
                 deterministic=not training)
-            da_loss = cap.domain_alignment_loss(aux["cpt_feats"],
-                                                aux["fc_emb"])
+            sample_masks = sample_masks * rmask[:, None]
+            da_sum, _ = cap.domain_alignment_sums(aux["cpt_feats"],
+                                                  aux["fc_emb"], rmask)
+            da_loss = da_sum / n_rows
+            sums["da_loss"], counts["da_loss"] = da_sum, n_rows
 
             greedy_seq, _, greedy_masks, _ = cap.forward_rl(
                 jax.lax.stop_gradient(params), batch["fc"], batch["att"],
@@ -168,18 +209,28 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
                     cider_tables, sample_seq, greedy_seq, batch["img_rows"],
                     ids.eos)
                 fact_reward = jax.lax.stop_gradient(fact_reward)
-                aux_losses["fact_reward"] = fact_reward[:, 0].mean()
+                fr_sum = jnp.sum(fact_reward[:, 0] * rmask)
+                aux_losses["fact_reward"] = fr_sum / n_rows
+                sums["fact_reward"], counts["fact_reward"] = fr_sum, n_rows
             else:
                 fact_reward = 0.0
 
             cls_reward = _cls_reward(frozen.sent_senti_cls, sample_seq,
                                      sample_masks, senti_labels, settings)
-            aux_losses["cls_reward"] = cls_reward.mean()
+            n_tok_slots = n_rows * cls_reward.shape[1]
+            cr_sum = jnp.sum(cls_reward * rmask[:, None])
+            aux_losses["cls_reward"] = cr_sum / n_tok_slots
+            sums["cls_reward"], counts["cls_reward"] = cr_sum, n_tok_slots
 
             rewards = fact_reward + CLS_FLAG * cls_reward
-            aux_losses["all_rewards"] = rewards.mean()
-            rl_loss = cap.reward_criterion(sample_lp, sample_masks, rewards)
+            rw_sum = jnp.sum(rewards * rmask[:, None])
+            aux_losses["all_rewards"] = rw_sum / n_tok_slots
+            sums["all_rewards"], counts["all_rewards"] = rw_sum, n_tok_slots
+            rl_sum, rl_cnt = cap.reward_criterion_sums(sample_lp,
+                                                       sample_masks, rewards)
+            rl_loss = rl_sum / rl_cnt
             aux_losses["cap_loss"] = rl_loss
+            sums["cap_loss"], counts["cap_loss"] = rl_sum, rl_cnt
 
             total = rl_loss + da_loss
 
@@ -194,9 +245,13 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
                     batch["caps"], xe_labels, settings=settings, rng=k_xe,
                     ss_prob=jnp.float32(RL_XE_SS_PROB),
                     deterministic=not training)
-                xe_loss = cap.xe_criterion(pred, batch["caps"][:, 1:],
-                                           batch["lengths"])
+                lengths = batch["lengths"] * rmask.astype(
+                    batch["lengths"].dtype)
+                xe_sum, xe_cnt = cap.xe_criterion_sums(
+                    pred, batch["caps"][:, 1:], lengths)
+                xe_loss = xe_sum / xe_cnt
                 aux_losses["xe_loss"] = xe_loss
+                sums["xe_loss"], counts["xe_loss"] = xe_sum, xe_cnt
                 total = total + xe_loss
 
             if training and scs_batch is not None:
@@ -211,7 +266,7 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
                 aux_losses["seq2seq_loss"] = s2s_loss
                 total = total + s2s_loss
 
-            return total, aux_losses
+            return total, (aux_losses, sums, counts)
 
         return rollout_loss
 
@@ -221,7 +276,7 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
                        rng):
             loss_fn = _forward(params, frozen, batch, scs_batch, rng,
                                data_type, training=True)
-            (_, losses), grads = jax.value_and_grad(
+            (_, (losses, _, _)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             params, opt_state = optim.apply_updates(params, grads, opt_state,
                                                     tx)
@@ -231,10 +286,13 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
     def make_eval(data_type: str):
         @jax.jit
         def eval_step(params, frozen: RLModels, batch, rng):
+            """(sums, counts) per loss term — see rollout_loss; the CLI
+            aggregates sums/counts across batches so eval-padding rows
+            never bias val losses."""
             loss_fn = _forward(params, frozen, batch, None, rng, data_type,
                                training=False)
-            _, losses = loss_fn(params)
-            return losses
+            _, (_, sums, counts) = loss_fn(params)
+            return sums, counts
         return eval_step
 
     return {
@@ -262,9 +320,13 @@ def make_concept_steps(settings, tx):
 
     @jax.jit
     def eval_step(params, batch):
+        """(masked loss sum, valid row count, scores): eval-padding rows
+        contribute nothing; CLIs divide aggregated sums by counts."""
         out = cpt_det.forward(params, batch["fc"],
                               dropout_p=0.0, deterministic=True)
-        return cpt_det.multi_label_loss(out, batch["cpts"]), out
+        rows = cpt_det.multi_label_loss_rows(out, batch["cpts"])
+        rmask = _row_mask(batch, rows.shape[0], rows.dtype)
+        return jnp.sum(rows * rmask), jnp.sum(rmask), out
 
     return train_step, eval_step
 
@@ -282,11 +344,11 @@ def make_senti_steps(settings, tx):
 
     @jax.jit
     def eval_step(params, batch):
-        loss = senti_det.xent_loss(params, batch["att"], batch["labels"],
-                                   dropout_p=0.0, rng=jax.random.PRNGKey(0),
-                                   deterministic=True)
+        """(masked loss sum, valid row count, predicted labels)."""
+        rows = senti_det.xent_nll_rows(params, batch["att"], batch["labels"])
+        rmask = _row_mask(batch, rows.shape[0], rows.dtype)
         labels, _, _ = senti_det.sample(params, batch["att"], 0.0, 0)
-        return loss, labels
+        return jnp.sum(rows * rmask), jnp.sum(rmask), labels
 
     return train_step, eval_step
 
@@ -304,11 +366,12 @@ def make_cls_steps(settings, tx):
 
     @jax.jit
     def eval_step(params, batch):
-        loss = ss_cls.xent_loss(params, batch["caps"], batch["lengths"],
-                                batch["labels"], settings=settings,
-                                rng=jax.random.PRNGKey(0), deterministic=True)
+        """(masked loss sum, valid row count, predicted labels)."""
+        rows = ss_cls.xent_nll_rows(params, batch["caps"], batch["lengths"],
+                                    batch["labels"], settings=settings)
+        rmask = _row_mask(batch, rows.shape[0], rows.dtype)
         pred, _ = ss_cls.sample(params, batch["caps"], batch["lengths"],
                                 settings=settings)
-        return loss, pred
+        return jnp.sum(rows * rmask), jnp.sum(rmask), pred
 
     return train_step, eval_step

@@ -13,8 +13,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import subprocess  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Build the native components (isclm, libfstore) if absent so the suite is
+# green from a clean checkout — binaries are intentionally not committed.
+_NATIVE = os.path.join(os.path.dirname(__file__), "..", "native")
+if os.path.isdir(_NATIVE) and not os.path.exists(
+        os.path.join(_NATIVE, "build", "isclm")):
+    subprocess.run(["make", "-C", _NATIVE], check=False,
+                   capture_output=True)
 
 
 @pytest.fixture(scope="session")

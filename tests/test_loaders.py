@@ -45,6 +45,20 @@ def test_host_sharding_disjoint():
     assert sorted(seen) == items  # disjoint and complete
 
 
+def test_host_sharding_equal_batch_counts_when_uneven():
+    """21 items over 8 hosts: every host must see the SAME number of items
+    and batches (floor(n/count) truncation) — unequal stripes would let one
+    host run a collective-bearing step the others never join."""
+    items = list(range(21))
+    shards = [Loader(items, 2, _collate, shuffle=False, drop_last=True,
+                     shard=(i, 8)) for i in range(8)]
+    assert all(len(ld.items) == 2 for ld in shards)
+    counts = [len(list(ld)) for ld in shards]
+    assert counts == [1] * 8
+    seen = [int(v) for ld in shards for b in ld for v in b["x"]]
+    assert len(seen) == len(set(seen))  # stripes stay disjoint
+
+
 def test_cycle_iterator_wraps_and_rejects_empty():
     ld = Loader(list(range(6)), 3, _collate, shuffle=False)
     it = CycleIterator(ld)

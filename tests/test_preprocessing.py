@@ -232,3 +232,6 @@ def test_eval_ppl_cli(tmp_path, monkeypatch):
             f.write("park the dog mat in runs a\n")
     bad = eval_ppl.compute_ppl(str(tmp_path / "result_1"), "fact")
     assert all(bad[s] > scores[s] for s in scores)
+    # missing inputs must raise, not silently deflate the sum with 0.0
+    with pytest.raises(FileNotFoundError):
+        eval_ppl.compute_ppl(str(tmp_path / "result_missing"), "fact")

@@ -110,8 +110,43 @@ def test_xe_train_step_decreases_loss(settings):
     assert all(np.isfinite(list(losses0.values())))
     assert float(losses["all_loss"]) < losses0["all_loss"]
 
-    ev = eval_step(params, cls_params, sbatch, jax.random.PRNGKey(99))
-    assert np.isfinite(float(ev["all_loss"]))
+    sums, cnts = eval_step(params, cls_params, sbatch,
+                           jax.random.PRNGKey(99))
+    assert np.isfinite(float(sums["xe_loss"]) / float(cnts["xe_loss"]))
+
+
+def test_xe_eval_invariant_to_batch_boundaries(settings):
+    """Aggregated val loss must be identical whether the split size divides
+    the batch size or not (padded duplicate rows contribute nothing) —
+    the reference-style per-batch average double-counted the repeated last
+    item and that bias fed the lr-plateau decision."""
+    g = np.random.default_rng(11)
+    N = 10
+    full = _cap_batch(g, N, settings)
+    params = cap.init_params(jax.random.PRNGKey(0), V, 3, settings)
+    cls_params = ss_cls.init_params(jax.random.PRNGKey(1), V, 3, settings)
+    tx = optim.make_optimizer(1e-3)
+    _, eval_step = steps.make_xe_steps(settings, tx)
+
+    def val_loss(bs):
+        sums, cnts = {}, {}
+        for s in range(0, N, bs):
+            rows = list(range(s, min(s + bs, N)))
+            valid = len(rows)
+            rows = rows + [rows[-1]] * (bs - valid)  # loader-style padding
+            b = {k: v[rows] for k, v in full.items()}
+            b["valid"] = np.int32(valid)
+            bs_sums, bs_cnts = eval_step(params, cls_params, b,
+                                         jax.random.PRNGKey(0))
+            for k in bs_sums:
+                sums[k] = sums.get(k, 0.0) + float(bs_sums[k])
+                cnts[k] = cnts.get(k, 0.0) + float(bs_cnts[k])
+        return {k: sums[k] / cnts[k] for k in sums}
+
+    a, b_, c = val_loss(4), val_loss(5), val_loss(10)
+    for k in a:
+        assert a[k] == pytest.approx(b_[k], rel=1e-5), k
+        assert a[k] == pytest.approx(c[k], rel=1e-5), k
 
 
 def _tiny_cider_tables(g, fns):
@@ -166,8 +201,89 @@ def test_rl_steps(settings):
     assert np.isfinite(float(losses_s["cap_loss"]))
     assert "fact_reward" not in losses_s and "xe_loss" not in losses_s
 
-    ev = rl[("fact", False)](params3, frozen, fact_in, jax.random.PRNGKey(5))
-    assert np.isfinite(float(ev["cap_loss"]))
+    sums, cnts = rl[("fact", False)](params3, frozen, fact_in,
+                                     jax.random.PRNGKey(5))
+    assert np.isfinite(float(sums["cap_loss"]) / float(cnts["cap_loss"]))
+
+    # padding rows must not leak into the eval aggregates: same shapes and
+    # key, scrambled content in the invalid tail row -> identical sums
+    valid = bs - 1
+    a = dict(fact_in)
+    a["valid"] = np.int32(valid)
+    b2 = {k: v.copy() for k, v in fact_in.items()}
+    g2 = np.random.default_rng(99)
+    b2["fc"][-1] = g2.normal(size=b2["fc"][-1].shape).astype(np.float32)
+    b2["att"][-1] = g2.normal(size=b2["att"][-1].shape).astype(np.float32)
+    b2["caps"][-1] = 0
+    b2["caps"][-1, 0], b2["caps"][-1, 1:4] = IDS.sos, [5, 6, IDS.eos]
+    b2["lengths"][-1] = 3
+    b2["valid"] = np.int32(valid)
+    sa, ca = rl[("fact", False)](params3, frozen, a, jax.random.PRNGKey(7))
+    sb, cb = rl[("fact", False)](params3, frozen, b2, jax.random.PRNGKey(7))
+    for k in sa:
+        assert float(sb[k]) == pytest.approx(float(sa[k]), rel=1e-5,
+                                             abs=1e-7), k
+        assert float(cb[k]) == pytest.approx(float(ca[k])), k
+
+
+def _tree_allclose(a, b, rtol=5e-3, atol=1e-4):
+    # tolerance covers reduction-order drift amplified by the LSTM scan and
+    # Adam's rsqrt; a wrong-axis mean/psum is off by O(n_devices), far above
+    fa, ta = jax.tree_util.tree_flatten(a)
+    fb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def test_sharded_matches_single_device(settings):
+    """One XE step and one RL step with identical inputs/keys on an (8,)
+    mesh vs a (1,) mesh: losses AND updated params must agree up to
+    reduction order. This is the check that catches a wrong-axis mean/psum
+    (finite losses alone would not)."""
+    g = np.random.default_rng(7)
+    bs = 8
+    fns = [f"img{i}" for i in range(bs)]
+    tables, fn2row, _ = _tiny_cider_tables(g, fns)
+
+    tx = optim.make_optimizer(1e-3)
+    xe_train, _ = steps.make_xe_steps(settings, tx)
+    rl = steps.make_rl_steps(settings, tx, IDS, MAXLEN, tables)
+
+    batch = _cap_batch(g, bs, settings)
+    batch["att"] = g.normal(
+        size=(bs, 14, 14, settings.att_feat_dim)).astype(np.float32)
+    batch["sentis"] = g.integers(4, V, size=(bs, 6)).astype(np.int32)
+    batch["img_rows"] = np.asarray([fn2row[fn] for fn in fns], np.int32)
+    scs = _scs_batch(g, bs, settings)
+
+    def run(mesh_shape):
+        m = pmesh.make_mesh(mesh_shape)
+        # fresh params per mesh: the train steps donate their inputs
+        params = pmesh.replicate(m, cap.init_params(
+            jax.random.PRNGKey(0), V, 3, settings))
+        cls_params = pmesh.replicate(m, ss_cls.init_params(
+            jax.random.PRNGKey(1), V, 3, settings))
+        senti_params = pmesh.replicate(m, senti_det.init_params(
+            jax.random.PRNGKey(2), 3, settings))
+        opt_state = pmesh.replicate(m, tx.init(params))
+        sb, sscs = pmesh.shard_batch(m, batch), pmesh.shard_batch(m, scs)
+        p2, opt_state, xe_losses = xe_train(
+            params, opt_state, cls_params, sb, sscs, jax.random.PRNGKey(3),
+            jnp.float32(0.1))
+        frozen = steps.RLModels(senti_detector=senti_params,
+                                sent_senti_cls=cls_params)
+        opt2 = pmesh.replicate(m, tx.init(p2))
+        p3, _, rl_losses = rl[("fact", True)](p2, opt2, frozen, sb, sscs,
+                                              jax.random.PRNGKey(4))
+        return xe_losses, rl_losses, p3
+
+    xe8, rl8, p8 = run((8,))
+    xe1, rl1, p1 = run((1,))
+    _tree_allclose(xe8, xe1)
+    _tree_allclose(rl8, rl1)
+    _tree_allclose(p8, p1)
 
 
 def test_head_steps(settings):
@@ -186,8 +302,13 @@ def test_head_steps(settings):
         p, st, loss = tr(p, st, batch, jax.random.PRNGKey(i))
         l0 = l0 or float(loss)
     assert float(loss) < l0
-    loss, out = ev(p, batch)
+    loss_sum, cnt, out = ev(p, batch)
     assert out.shape == (bs, n_cpts)
+    assert float(cnt) == bs
+    # valid masking drops tail rows from both sum and count
+    loss_sum2, cnt2, _ = ev(p, {**batch, "valid": np.int32(bs - 4)})
+    assert float(cnt2) == bs - 4
+    assert float(loss_sum2) < float(loss_sum)
 
     p = senti_det.init_params(jax.random.PRNGKey(1), 3, settings)
     st = tx.init(p)
@@ -198,8 +319,8 @@ def test_head_steps(settings):
     for i in range(3):
         p, st, loss = tr(p, st, batch, jax.random.PRNGKey(i))
     assert np.isfinite(float(loss))
-    loss, labels = ev(p, batch)
-    assert labels.shape == (bs,)
+    loss_sum, cnt, labels = ev(p, batch)
+    assert labels.shape == (bs,) and float(cnt) == bs
 
     p = ss_cls.init_params(jax.random.PRNGKey(2), V, 3, settings)
     st = tx.init(p)
