@@ -55,6 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rl_epochs", type=int, default=d.rl_epochs)
     p.add_argument("--rl_fact_times", type=int, default=d.rl_fact_times)
     p.add_argument("--rl_senti_times", type=int, default=d.rl_senti_times)
+    p.add_argument("--rl_lm_flag", type=float, default=d.rl_lm_flag)
     # common (:52-63)
     p.add_argument("--dataset_name", type=str, default=d.dataset_name,
                    choices=["coco", "flickr30k"])

@@ -148,10 +148,28 @@ def train(opt: Opts):
                                                rt.round_bs(80),
                                                seed=opt.seed))
 
+    # optional LM reward (default off; the reference keeps this wired but
+    # disabled, train_rl.py:212-216) — per-sentiment id-form ARPA LMs
+    # scored on device inside the RL jit region
+    lm_tables = None
+    if opt.rl_lm_flag > 0.0:
+        from ..ops import lm_device
+        lm_dir = os.path.join(opt.captions_dir, opt.dataset_name,
+                              opt.corpus_type, "lm")
+        paths = [os.path.join(lm_dir, f"{senti}_id.sri")
+                 for senti in opt.sentiment_categories]
+        for p in paths:
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"--rl_lm_flag set but LM missing: {p} (run the "
+                    "preprocess lm stage)")
+        lm_tables = lm_device.build_lm_tables(paths, len(vocab))
+
     lr = opt.rl_lrs.get("cap_lr", 4e-5)
     tx = optim.make_optimizer(lr, opt.grad_clip)
     opt_state = tx.init(params)
-    rl = steps.make_rl_steps(opt.settings, tx, ids, opt.max_seq_len, tables)
+    rl = steps.make_rl_steps(opt.settings, tx, ids, opt.max_seq_len, tables,
+                             lm_tables=lm_tables, lm_flag=opt.rl_lm_flag)
 
     serving = inference.make_serving_fn(opt.settings, ids,
                                         beam_size=opt.beam_size,

@@ -90,6 +90,11 @@ class Opts:
     rl_epochs: int = 40
     rl_fact_times: int = 1
     rl_senti_times: int = 0
+    # LM reward weight (0 = off). The reference keeps this capability
+    # present but disabled (train_rl.py:212-216 commented set_lms); when
+    # > 0, per-sentiment id-form ARPA LMs ({senti}_id.sri) are scored on
+    # device and sign(lm(greedy)-lm(sample)) joins the SCST rewards.
+    rl_lm_flag: float = 0.0
     # common
     dataset_name: str = "coco"
     corpus_type: str = "part"

@@ -485,6 +485,19 @@ def get_lm_sents(captions_dir: str, dataset_names: List[str],
                 with open(id_txt) as fin, open(arpa, "w") as fout:
                     subprocess.run(["lmplz", "-o", "3"], stdin=fin,
                                    stdout=fout, check=True)
+            # id-form ARPA (.sri) — input of the RL LM reward
+            # (--rl_lm_flag; reference wires kenlm arpa here,
+            # train_rl.py:212-216, default-off)
+            id_sri = os.path.join(lm_dir, f"{senti}_id.sri")
+            if use_srilm:
+                cnt = os.path.join(lm_dir, f"{senti}_id.count")
+                subprocess.run(["ngram-count", "-text", id_txt, "-order",
+                                "3", "-write", cnt], check=True)
+                subprocess.run(["ngram-count", "-read", cnt, "-order", "3",
+                                "-lm", id_sri, "-interpolate",
+                                "-kndiscount"], check=True)
+            elif isclm:
+                subprocess.run([isclm, "train", id_txt, id_sri], check=True)
         if not have_kenlm:
             print("note: lmplz not found — KenLM arpa files skipped "
                   "(unused by the runtime, SURVEY.md §2.5)")

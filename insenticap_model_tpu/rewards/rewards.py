@@ -93,3 +93,72 @@ def get_lm_reward(sample_captions: np.ndarray, greedy_captions: np.ndarray,
         scores.append(np.sign(lm.score(g) - lm.score(s)))
     return np.repeat(np.array(scores)[:, None], sample_captions.shape[1],
                      axis=1)
+
+
+class ArpaTrigramLM:
+    """Host ARPA trigram scorer with the kenlm scoring convention the
+    reference's (disabled) LM reward relies on
+    (self_critical/utils.py:86-100): ``score(seq)`` wraps the sequence in
+    <s> ... </s> and returns the total log10 probability, with standard
+    ARPA backoff. Reads the id-form .sri/.arpa files written by
+    preprocessing.get_lm_sents.
+
+    OOV policy: tokens without a unigram entry use the ARPA's <unk> entry
+    when present (kenlm behavior); otherwise a fixed floor of -99 (isclm
+    ARPAs carry no <unk> — documented divergence, same ranking effect).
+    The device twin (ops/lm_device.py) matches this class exactly.
+    """
+
+    BOS = "<s>"
+    EOS = "</s>"
+    OOV_LP = -99.0
+
+    def __init__(self, path: str):
+        self.lp = [dict() for _ in range(3)]   # order-1..3: tuple -> lp
+        self.bo = [dict() for _ in range(2)]   # order-1..2: tuple -> backoff
+        order = 0
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("\\") and "-grams:" in line:
+                    order = int(line[1:line.index("-")])
+                    continue
+                if not line or line.startswith("\\") or "=" in line:
+                    if line == "\\end\\":
+                        break
+                    continue
+                parts = line.split()
+                lp = float(parts[0])
+                ng = tuple(parts[1:1 + order])
+                self.lp[order - 1][ng] = lp
+                if len(parts) > 1 + order and order < 3:
+                    self.bo[order - 1][ng] = float(parts[1 + order])
+
+    def _p1(self, w: str) -> float:
+        if (w,) in self.lp[0]:
+            return self.lp[0][(w,)]
+        if ("<unk>",) in self.lp[0]:
+            return self.lp[0][("<unk>",)]
+        return self.OOV_LP
+
+    def _p2(self, c1: str, w: str) -> float:
+        if (c1, w) in self.lp[1]:
+            return self.lp[1][(c1, w)]
+        return self.bo[0].get((c1,), 0.0) + self._p1(w)
+
+    def _p3(self, c2: str, c1: str, w: str) -> float:
+        if (c2, c1, w) in self.lp[2]:
+            return self.lp[2][(c2, c1, w)]
+        return self.bo[1].get((c2, c1), 0.0) + self._p2(c1, w)
+
+    def score(self, seq: Sequence[int]) -> float:
+        """Total log10 prob of <s> seq </s> (kenlm .score convention; seq
+        is the id tuple from seq_from_ids — words + explicit EOS id)."""
+        toks = [self.BOS] + [str(int(t)) for t in seq] + [self.EOS]
+        total = 0.0
+        for j in range(1, len(toks)):
+            if j == 1:
+                total += self._p2(toks[0], toks[1])
+            else:
+                total += self._p3(toks[j - 2], toks[j - 1], toks[j])
+        return total

@@ -151,12 +151,18 @@ def _cls_reward(cls_params, sample_seq, seq_masks, senti_labels, settings):
 
 
 def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
-                  cider_tables: Optional[ciderd_device.CiderTables]):
+                  cider_tables: Optional[ciderd_device.CiderTables],
+                  lm_tables=None, lm_flag: float = 0.0):
     """Returns dict of jitted steps keyed by (data_type, training).
 
     fact batch: {fc, att, caps, lengths, cpts, sentis, img_rows}
     senti batch: {fc, att, cpts, sentis, senti_labels}
     scs_batch as in XE.
+
+    lm_tables/lm_flag: optional per-sentiment trigram LM reward
+    (ops/lm_device.py) added as lm_flag * sign(lm(greedy) - lm(sample)) —
+    the reference's capability-present-default-off LM reward
+    (train_rl.py:212-216, self_critical/utils.py:86-100); default off.
     """
 
     def _forward(params, frozen: RLModels, batch, scs_batch, rng,
@@ -223,6 +229,15 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
             sums["cls_reward"], counts["cls_reward"] = cr_sum, n_tok_slots
 
             rewards = fact_reward + CLS_FLAG * cls_reward
+            if lm_tables is not None and lm_flag > 0.0:
+                from ..ops import lm_device
+                lmr = jax.lax.stop_gradient(lm_device.lm_reward(
+                    lm_tables, sample_seq, greedy_seq, senti_labels,
+                    ids.eos))
+                lm_sum = jnp.sum(lmr * rmask[:, None])
+                aux_losses["lm_reward"] = lm_sum / n_tok_slots
+                sums["lm_reward"], counts["lm_reward"] = lm_sum, n_tok_slots
+                rewards = rewards + lm_flag * lmr
             rw_sum = jnp.sum(rewards * rmask[:, None])
             aux_losses["all_rewards"] = rw_sum / n_tok_slots
             sums["all_rewards"], counts["all_rewards"] = rw_sum, n_tok_slots
