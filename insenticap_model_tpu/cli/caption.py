@@ -58,6 +58,10 @@ def build_parser():
     p.add_argument("--max_seq_len", type=int, default=16)
     p.add_argument("--num_concepts", type=int, default=5)
     p.add_argument("--num_sentiments", type=int, default=10)
+    p.add_argument("--dump_attention", type=str, default="",
+                   help="directory: write per-image .npz with the decode-"
+                        "time attention weights per generated word (14x14 "
+                        "content map; senti/fuse weights in auto mode)")
     return p
 
 
@@ -95,10 +99,15 @@ def run(a) -> list:
         senti_table = json.load(f)
 
     enc_fwd = jax.jit(lambda p, x: enc.forward_batch(p, x))
+    dump_att = bool(a.dump_attention)
     serve = inference.make_serving_fn(settings, ids, a.beam_size,
-                                      a.max_seq_len)
+                                      a.max_seq_len,
+                                      return_weights=dump_att)
     serve_forced = inference.make_forced_serving_fn(
-        settings, ids, a.beam_size, a.max_seq_len)
+        settings, ids, a.beam_size, a.max_seq_len,
+        return_weights=dump_att)
+    if dump_att:
+        os.makedirs(a.dump_attention, exist_ok=True)
 
     # encoder pass bucketed by exact image shape: one ResNet compile per
     # distinct (H, W) instead of per image (compiles are minutes-slow)
@@ -122,21 +131,44 @@ def run(a) -> list:
         enc_ids = vocab.encode_filter(senti_words)
         sentis[0, :len(enc_ids)] = enc_ids
 
+        weights = None
         if a.sentiment == "auto":
             sparams = inference.ServingParams(captioner=cap_params,
                                               senti_detector=senti_params)
-            seqs, scores, labels = serve(sparams, fc, att,
-                                         jnp.asarray(sentis))
+            out = serve(sparams, fc, att, jnp.asarray(sentis))
+            (seqs, scores, labels), weights = (out[:3],
+                                               out[3] if dump_att else None)
             label = int(np.asarray(labels)[0])
         else:
             label = cats.index(a.sentiment)
-            seqs, scores = serve_forced(
+            out = serve_forced(
                 cap_params, fc, att, jnp.asarray(sentis),
                 jnp.full((1,), label, jnp.int32))
+            (seqs, scores), weights = (out[:2],
+                                       out[2] if dump_att else None)
         rec = {"image": os.path.basename(path),
                "sentiment": cats[label],
                "caption": vocab.decode_to_text(np.asarray(seqs)[0, 0]),
                "score": float(np.asarray(scores)[0, 0])}
+        if dump_att:
+            # one attention map per generated word of the TOP candidate
+            # (reference _get_weights introspection, captioner.py:83-94)
+            tokens = [int(t) for t in np.asarray(seqs)[0, 0]]
+            n_words = next((i for i, t in enumerate(tokens)
+                            if t == vocab.eos_id), len(tokens))
+            dump = {"tokens": np.asarray(tokens[:n_words], np.int32),
+                    "words": np.asarray(
+                        [vocab.idx2word[t] for t in tokens[:n_words]])}
+            for key, arr in weights.items():
+                w = np.asarray(arr)[0, 0, :n_words]          # [T, ...]
+                if key == "cont":
+                    w = w.reshape(n_words, 14, 14)
+                dump[key] = w
+            out_path = os.path.join(
+                a.dump_attention,
+                os.path.splitext(os.path.basename(path))[0] + "_att.npz")
+            np.savez(out_path, **dump)
+            rec["attention"] = out_path
         results.append(rec)
         print(json.dumps(rec))
     return results

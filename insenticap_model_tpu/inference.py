@@ -31,7 +31,8 @@ class ServingParams(NamedTuple):
 def detect_and_decode(params: ServingParams, fc, att, sentis, *, settings,
                       ids: cap.TokenIds, beam_size: int = 3,
                       max_seq_len: int = 16,
-                      senti_threshold: float = SENTI_THRESHOLD):
+                      senti_threshold: float = SENTI_THRESHOLD,
+                      return_weights: bool = False):
     """Full serving step for a batch of images.
 
     fc:      [bs, Ff] pooled features
@@ -40,6 +41,12 @@ def detect_and_decode(params: ServingParams, fc, att, sentis, *, settings,
 
     Returns (seqs [bs, beam, T] int32, scores [bs, beam] desc-sorted,
     senti_labels [bs] int32). Jit-friendly: wrap with jax.jit directly.
+
+    return_weights: additionally return the per-step attention weights of
+    each returned candidate's path (dict of cont/senti/fuse arrays
+    [bs, beam, T, ...]; SURVEY.md §8.14 — the reference records these via
+    _get_weights(), captioner.py:83-94). Introspection mode, off the
+    serving hot path.
     """
     senti_labels, _, _ = senti_det.sample(params.senti_detector, att,
                                           senti_threshold, ids.neutral)
@@ -47,9 +54,14 @@ def detect_and_decode(params: ServingParams, fc, att, sentis, *, settings,
         params.captioner, fc, att, settings.dropout_p,
         jax.random.PRNGKey(0), True,  # deterministic: sample() is eval-mode
         senti_words=sentis, senti_labels=senti_labels, pad_id=ids.pad)
-    seqs, scores = beam.beam_search_batched(
+    out = beam.beam_search_batched(
         params.captioner, ctx, settings=settings, ids=ids,
-        beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
+        beam_size=beam_size, max_seq_len=max_seq_len, mode="rl",
+        return_weights=return_weights)
+    if return_weights:
+        seqs, scores, weights = out
+        return seqs, scores, senti_labels, weights
+    seqs, scores = out
     return seqs, scores, senti_labels
 
 
@@ -106,18 +118,20 @@ def sweep_sentiments(params_captioner, fc, att, sentis_by_label, *,
 
 
 def make_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
-                    max_seq_len: int = 16):
+                    max_seq_len: int = 16, return_weights: bool = False):
     """Jitted detect_and_decode with static config baked in."""
     @jax.jit
     def fn(params: ServingParams, fc, att, sentis):
         return detect_and_decode(params, fc, att, sentis, settings=settings,
                                  ids=ids, beam_size=beam_size,
-                                 max_seq_len=max_seq_len)
+                                 max_seq_len=max_seq_len,
+                                 return_weights=return_weights)
     return fn
 
 
 def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
-                           max_seq_len: int = 16):
+                           max_seq_len: int = 16,
+                           return_weights: bool = False):
     """Jitted sentiment-FORCED beam decode: like detect_and_decode but the
     label comes from the caller instead of the image detector (the paper's
     controllable-sentiment mode)."""
@@ -129,5 +143,6 @@ def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
             pad_id=ids.pad)
         return beam.beam_search_batched(
             cap_params, ctx, settings=settings, ids=ids,
-            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
+            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl",
+            return_weights=return_weights)
     return fn

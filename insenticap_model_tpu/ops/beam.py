@@ -111,8 +111,8 @@ def _topk_argmax(x, k: int):
 def beam_search_batched(params, ctx: DecodeContext, *, settings,
                         ids: TokenIds, beam_size: int, max_seq_len: int,
                         mode: str, decoding_constraint: bool = True,
-                        early_exit: bool = True
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        early_exit: bool = True,
+                        return_weights: bool = False):
     """Whole-batch beam decode in one XLA program (new capability vs. the
     reference's bs=1 Python loop).
 
@@ -123,6 +123,15 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
     captions end before max_seq_len.
     Returns (seqs [bs, beam, max_seq_len] int32, scores [bs, beam]) sorted
     by score descending; sequences are EOS-terminated then EOS-padded.
+
+    return_weights: also return the per-step attention weights along each
+    returned candidate's actual path — the reference records these via
+    stateful lists retrieved by _get_weights() (captioner.py:83-94;
+    SURVEY.md §8.14 asks for them as optional outputs instead). Returns a
+    third element: dict with 'cont' [bs, beam, T, N] (+ 'senti'
+    [bs, beam, T, M+1] and 'fuse' [bs, beam, T, 1] in rl mode). Forces the
+    scan path (no early exit) and the plain-XLA cell — an introspection
+    mode, not the serving hot path.
     """
     bs = ctx.fc.shape[0]
     B = beam_size
@@ -143,8 +152,11 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
 
     # beam-shared content attention (pallas): read att/p_att once per step
     # instead of once per beam; opt-out via ISC_FUSED_ATT=0
+    if return_weights:
+        early_exit = False  # weights are emitted through the scan ys
     fa_tile = 8 if bs % 8 == 0 else (4 if bs % 4 == 0 else 0)
     use_fa = (ctx.att is not None and mode in ("xe", "rl") and fa_tile > 0
+              and not return_weights
               and jax.default_backend() == "tpu"
               and os.environ.get("ISC_FUSED_ATT", "1") == "1")
     if use_fa:
@@ -159,6 +171,7 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
     rows = bs * B
     tile_r = _fused_rows(rows)
     use_fused = (tile_r > 0 and jax.default_backend() == "tpu"
+                 and not return_weights
                  and os.environ.get("ISC_FUSED_TOPK") == "1")
     if use_fused:
         from . import fused_topk
@@ -171,26 +184,29 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
             bias = jnp.pad(bias, (0, Vp - V), constant_values=NEG_INF)
 
     def _cell(state, last_flat):
+        """(out, new_state, weights-or-{}) — weights only populated on the
+        plain-XLA cell when return_weights is on."""
         if use_fa:
-            return _decode_cell_shared_att(
+            out, new_state = _decode_cell_shared_att(
                 params, sctx, ctx.att, ctx.p_att, state, last_flat,
                 mode=mode, B=B, tile_b=fa_tile)
-        out, new_state, _ = decode_cell(
+            return out, new_state, {}
+        out, new_state, weights = decode_cell(
             params, bctx, state, last_flat, mode=mode, dropout_p=0.0,
             drop_key=jax.random.PRNGKey(0), deterministic=True)
-        return out, new_state
+        return out, new_state, (weights if return_weights else {})
 
     def step_fn(carry, t):
         state, scores, last = carry
         if use_fused:
-            out, new_state = _cell(state, last.reshape(-1))
+            out, new_state, wts = _cell(state, last.reshape(-1))
             last_flat = last.reshape(-1) if decoding_constraint else \
                 jnp.full((rows,), -1, jnp.int32)
             topv2, topi2 = fused_topk.classifier_topk(
                 out, w, bias, last_flat, k=B, banned=tuple(ban_static),
                 tile_r=tile_r)
         else:
-            out, new_state = _cell(state, last.reshape(-1))
+            out, new_state, wts = _cell(state, last.reshape(-1))
             # f32 logits + normalizer even with bf16 params (matching the
             # fused kernel): bf16 log_softmax reorders near-tie candidates
             logits = jnp.dot(out, params["classifier"]["w"],
@@ -231,7 +247,11 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
             fb = f.reshape(bs, B, -1)
             return jnp.einsum("bkj,bjh->bkh", sel_mat, fb).reshape(bs * B, -1)
         new_state = DecodeState(*(sel(f) for f in new_state))
-        return (new_state, new_scores, words), (words, parent)
+        # weights emitted per PRE-selection row: [bs, B, ...]; the
+        # backtrack resolves them to each candidate's actual path
+        wts = jax.tree_util.tree_map(
+            lambda a: a.reshape(bs, B, *a.shape[1:]), wts)
+        return (new_state, new_scores, words), (words, parent, wts)
 
     if early_exit:
         # while_loop with the reference's all-ended break; buffers are
@@ -247,7 +267,7 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
 
         def body(c):
             t, state, scores, last, wbuf, pbuf = c
-            (state, scores, words), (w, pr) = step_fn(
+            (state, scores, words), (w, pr, _) = step_fn(
                 (state, scores, last), t)
             wbuf = jax.lax.dynamic_update_index_in_dim(wbuf, w, t, 0)
             pbuf = jax.lax.dynamic_update_index_in_dim(pbuf, pr.astype(
@@ -258,19 +278,33 @@ def beam_search_batched(params, ctx: DecodeContext, *, settings,
             cond, body,
             (jnp.int32(0), state0, scores0, last0, words_buf, parent_buf))
     else:
-        (_, scores, _), (words_t, parent_t) = jax.lax.scan(
+        (_, scores, _), (words_t, parent_t, wts_t) = jax.lax.scan(
             step_fn, (state0, scores0, last0), jnp.arange(max_seq_len))
     # words_t/parent_t: [T, bs, B]. Backtrack from the final beam order.
-    def back_fn(beam_idx, wp):
-        words, parent = wp                                    # [bs,B]
+    # The weights for the token emitted at step t by a candidate occupying
+    # slot k at step t were computed at its parent row parent_t[t][k], so
+    # the same reverse walk that rebuilds tokens also resolves weights.
+    def back_fn(beam_idx, xs):
+        words, parent, wts = xs                               # [bs,B,(...)]
         w = jnp.take_along_axis(words, beam_idx, axis=1)
         prev = jnp.take_along_axis(parent, beam_idx, axis=1)
-        return prev, w
+        sel = jax.tree_util.tree_map(
+            lambda a: jnp.take_along_axis(
+                a, prev.reshape(bs, B, *([1] * (a.ndim - 2))), axis=1), wts)
+        return prev, (w, sel)
     final_idx = jnp.broadcast_to(jnp.arange(B)[None], (bs, B))
-    _, seq_rev = jax.lax.scan(back_fn, final_idx, (words_t, parent_t),
-                              reverse=True)
+    if not return_weights:
+        wts_t = {}
+    _, (seq_rev, wts_rev) = jax.lax.scan(
+        back_fn, final_idx, (words_t, parent_t, wts_t), reverse=True)
     seqs = jnp.moveaxis(seq_rev, 0, -1)                      # [bs,B,T]
-    return seqs, scores.astype(ctx.fc.dtype)
+    scores = scores.astype(ctx.fc.dtype)
+    if not return_weights:
+        return seqs, scores
+    # [T, bs, B, ...] -> [bs, B, T, ...]
+    weights = jax.tree_util.tree_map(
+        lambda a: jnp.moveaxis(a, 0, 2), wts_rev)
+    return seqs, scores, weights
 
 
 def beam_search(params, ctx: DecodeContext, *, settings, ids: TokenIds,

@@ -139,7 +139,8 @@ def test_caption_cli_end_to_end(tmp_path):
             "--resnet101_ckpt", str(tmp_path / "resnet.ckpt"),
             "--sentiment_detector_json", str(tmp_path / "senti_det.json"),
             "--sentiment", senti, "--max_seq_len", "6", "--beam_size", "2",
-            "--num_concepts", "2", "--num_sentiments", "4"]))
+            "--num_concepts", "2", "--num_sentiments", "4",
+            "--dump_attention", str(tmp_path / "att")]))
         assert len(out) == 1
         rec = out[0]
         assert rec["image"] == "test.jpg"
@@ -147,6 +148,13 @@ def test_caption_cli_end_to_end(tmp_path):
         assert isinstance(rec["caption"], str)
         if senti != "auto":
             assert rec["sentiment"] == senti
+        # one 14x14 content-attention map per generated word (SURVEY §8.14)
+        att_npz = np.load(rec["attention"], allow_pickle=False)
+        n_words = len(rec["caption"].split())
+        assert att_npz["cont"].shape == (n_words, 14, 14)
+        assert att_npz["words"].shape == (n_words,)
+        np.testing.assert_allclose(att_npz["cont"].sum((-1, -2)), 1.0,
+                                   atol=1e-5)
 
 
 def test_meteor_lite():

@@ -109,3 +109,54 @@ def test_beam_early_exit_matches_scan(settings):
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    atol=1e-6)
+
+
+def test_return_weights(settings):
+    """Optional decode-time attention weights (SURVEY.md §8.14): same
+    seqs/scores as the plain path, correct shapes, rows softmax-normalized,
+    and the returned weights follow each candidate's ACTUAL path — checked
+    against a manual stepwise re-decode of the top candidate."""
+    from insenticap_model_tpu.models.captioner import (DecodeState,
+                                                       decode_step)
+    g = np.random.default_rng(5)
+    bs, T, M = 4, 8, 6
+    p = _params(settings)
+    fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, 14, 14, settings.att_feat_dim)),
+                      jnp.float32)
+    sentis = jnp.asarray(g.integers(4, V, size=(bs, M)), jnp.int32)
+
+    fn = inference.make_serving_fn(settings, IDS, beam_size=3, max_seq_len=T)
+    fnw = inference.make_serving_fn(settings, IDS, beam_size=3,
+                                    max_seq_len=T, return_weights=True)
+    seqs, scores, labels = fn(p, fc, att, sentis)
+    seqs_w, scores_w, labels_w, weights = fnw(p, fc, att, sentis)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs_w))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores_w),
+                               atol=1e-5)
+
+    assert set(weights) == {"cont", "senti", "fuse"}
+    assert weights["cont"].shape == (bs, 3, T, 14 * 14)
+    assert weights["senti"].shape == (bs, 3, T, M + 1)  # +1: PAD null slot
+    assert weights["fuse"].shape == (bs, 3, T, 1)
+    cont = np.asarray(weights["cont"])
+    np.testing.assert_allclose(cont.sum(-1), 1.0, atol=1e-5)
+
+    # path correctness: re-decode the top candidate token-by-token with
+    # teacher-forced decode_step; its weights must equal the returned ones
+    ctx, _ = cap.build_visual_context(
+        p.captioner, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
+        True, senti_words=sentis, senti_labels=labels, pad_id=IDS.pad)
+    H = settings.rnn_hid_dim
+    z = jnp.zeros((bs, H), jnp.float32)
+    state = DecodeState(z, z, z, z)
+    it = jnp.full((bs,), IDS.sos, jnp.int32)
+    top = np.asarray(seqs)[:, 0]                          # [bs, T]
+    for t in range(T):
+        _, state, w = decode_step(p.captioner, ctx, state, it, mode="rl",
+                                  dropout_p=0.0,
+                                  drop_key=jax.random.PRNGKey(0),
+                                  deterministic=True)
+        np.testing.assert_allclose(np.asarray(w["cont"]),
+                                   cont[:, 0, t], atol=1e-5)
+        it = jnp.asarray(top[:, t])
