@@ -305,3 +305,21 @@ def metrics_line(log_path: str, record: Dict) -> None:
     """Structured jsonl metrics writer (SURVEY.md §5-observability)."""
     with open(log_path, "a") as f:
         f.write(json.dumps(record, sort_keys=True) + "\n")
+
+
+def run_with_post_mortem(fn, *args):
+    """Run a trainer, dropping into pdb.post_mortem on failure when
+    ISC_PDB=1 — the reference's QC harness wraps every entry point's
+    train() this way unconditionally (train_xe.py:257-267 etc., SURVEY.md
+    §4); here it is opt-in so unattended runs fail fast."""
+    if os.environ.get("ISC_PDB") != "1":
+        return fn(*args)
+    try:
+        return fn(*args)
+    except BaseException:
+        import pdb
+        import traceback
+        traceback.print_exc()
+        print("-" * 60)
+        pdb.post_mortem()
+        raise

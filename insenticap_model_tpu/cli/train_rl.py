@@ -343,7 +343,7 @@ def _dump_rl_results(result_dir, epoch, results, det_sentis, wrong_rate,
 
 
 def main(argv=None):
-    train(parse_opt(argv))
+    common.run_with_post_mortem(train, parse_opt(argv))
 
 
 if __name__ == "__main__":

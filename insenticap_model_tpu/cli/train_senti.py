@@ -115,7 +115,7 @@ def train(opt: Opts):
 
 
 def main(argv=None):
-    train(parse_opt(argv))
+    common.run_with_post_mortem(train, parse_opt(argv))
 
 
 if __name__ == "__main__":

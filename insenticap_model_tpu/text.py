@@ -46,6 +46,20 @@ _CONJ = {"and", "or", "but", "nor", "so", "yet", "because", "although",
          "though", "while", "if", "unless", "until", "when", "whenever",
          "where", "wherever", "whereas", "than", "as"}
 _PRT = {"not", "n't", "'s", "'ll", "'re", "'ve", "'d", "'m", "out"}
+_NUM_WORDS = {"zero", "one", "two", "three", "four", "five", "six",
+              "seven", "eight", "nine", "ten", "eleven", "twelve",
+              "thirteen", "fourteen", "fifteen", "sixteen", "seventeen",
+              "eighteen", "nineteen", "twenty", "thirty", "forty",
+              "fifty", "sixty", "seventy", "eighty", "ninety", "hundred",
+              "thousand", "million", "first", "second", "third"}
+_VERB_STEMS = {"sleep", "shout", "smile", "laugh", "cry", "talk", "speak",
+               "watch", "wait", "throw", "catch", "kick", "climb", "swim",
+               "drive", "pull", "push", "carry", "lift", "drink", "cook",
+               "read", "write", "draw", "point", "reach", "touch", "lean",
+               "rest", "pose", "race", "chase", "feed", "drop", "lay",
+               "lie", "hang", "surf", "ski", "skate", "dance", "sing",
+               "travel", "sail", "serve", "cut", "graze", "gather",
+               "perform", "browse", "stare", "gaze", "glance"}
 _AUX_VERBS = {"is", "am", "are", "was", "were", "be", "been", "being",
               "have", "has", "had", "having", "do", "does", "did", "doing",
               "will", "would", "shall", "should", "can", "could", "may",
@@ -113,7 +127,7 @@ def _rule_tag(w: str) -> str:
     lw = w.lower()
     if _PUNCT_RE.match(w):
         return "."
-    if _NUM_RE.match(w):
+    if _NUM_RE.match(w) or lw in _NUM_WORDS:
         return "NUM"
     if lw in _DET:
         return "DET"
@@ -127,8 +141,10 @@ def _rule_tag(w: str) -> str:
         return "PRT"
     if lw in _ADJ:
         return "ADJ"
-    if lw in _AUX_VERBS:
+    if lw in _AUX_VERBS or lw in _VERB_STEMS:
         return "VERB"
+    if lw.endswith("s") and lw[:-1] in _VERB_STEMS:
+        return "VERB"  # 3rd-person singular of the verb lexicon
     if lw in _ADV:
         return "ADV"
     if lw.endswith(_ADV_SUFFIX) and len(lw) > 4:
