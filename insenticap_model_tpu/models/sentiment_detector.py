@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops.winograd import conv2d_fast, pallas_eligible
 
 
 def init_params(key, num_sentiments: int, settings) -> Dict:
@@ -49,13 +50,34 @@ def forward(params, features, *, dropout_p: float, rng=None,
     NHWC to NCHW for torch convs; we stay NHWC, TPU's native layout).
 
     Returns (logits [bs, S], spatial map [bs, 14, 14])."""
-    x = features
-    for cp in params["convs"]:
-        x = nn.conv2d(cp, x, stride=1, padding="SAME")
+    # bf16 serving on TPU routes the 3x3 convs through pallas Winograd
+    # F(4x4,3x3) (2.9x fewer MXU multiplies; these convs are the largest
+    # single cost of the serving batch — DESIGN.md profile). The whole
+    # stack runs SPATIAL-MAJOR [H, W, bs, C] so the chained convs share
+    # one entry transpose and none in between. f32 (training / parity
+    # tests) keeps the exact direct conv.
+    fast = all(pallas_eligible(features.shape, cp["w"].shape,
+                               features.dtype) for cp in params["convs"])
+    if fast:
+        from ..ops.winograd_pallas import conv3x3_stack_sm
+        # whole conv stack in the Winograd domain: the inter-conv
+        # activation never leaves VMEM (the stack is linear end-to-end)
+        x = conv3x3_stack_sm(features.transpose(1, 2, 0, 3),
+                             [(cp["w"], cp.get("b"))
+                              for cp in params["convs"]])
+    else:
+        x = features
+        for cp in params["convs"]:
+            x = conv2d_fast(cp, x, stride=1, padding="SAME")
     if not deterministic:
         x = nn.dropout(rng, x, dropout_p, deterministic)
     x = jax.nn.relu(x)
+    # the 1x1 conv is a position-independent matmul over the channel
+    # (last) dim, so it is layout-agnostic: correct on both [bs, H, W, C]
+    # and the fast path's [H, W, bs, C]
     senti_maps = nn.conv2d(params["senti_conv"], x, stride=1, padding="SAME")
+    if fast:
+        senti_maps = senti_maps.transpose(2, 0, 1, 3)  # back to [bs,H,W,S]
     pooled = senti_maps.mean(axis=(1, 2))                        # [bs, S]
     out = pooled
     for fp in params["fcs"]:

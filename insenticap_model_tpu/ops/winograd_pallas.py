@@ -1,0 +1,265 @@
+"""Pallas transform kernels for Winograd F(4x4,3x3) (see winograd.py).
+
+The pure-XLA Winograd in winograd.py loses to direct convolution despite
+a 2.9x multiply reduction: XLA materializes the transform DAG as many
+full-size f32 intermediates plus layout copies (~48 ms of overhead around
+a ~5 ms GEMM at detector shapes). These kernels do each transform in ONE
+pass over HBM:
+
+  kernel A: padded input  [Hp, Wp, B, C]  ->  V [36, 16, B, C]  (bf16)
+  (XLA)   : batched GEMM  [36, 16B, C] @ [36, C, K] -> [36, 16B, K]
+  kernel B: M [36, 16, B, K] (+bias)      ->  y [16, 16, B, K]
+
+Layout is spatial-major (H, W, B, C) end to end: tile extraction becomes
+static strided slicing over the two LEADING (untiled) dims, so Mosaic
+never slices inside an (8,128) tile, and chaining two convs (the
+sentiment detector) needs no transposes in between — only one
+[B,H,W,C] -> [H,W,B,C] transpose at entry and one back at exit.
+
+Transform arithmetic in f32, GEMM in the serving dtype (bf16) with f32
+accumulation. Serving/eval only (no custom VJP; the f32 training path
+uses the direct conv).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .winograd import _at_combos, _bt_combos, transform_filter
+
+_M, _R, _T = 4, 3, 6
+
+
+def _input_kernel(x_ref, v_ref, *, th: int, tw: int):
+    """x_ref [4*th+2, 4*tw+2, bb, cb] -> v_ref [36, th*tw, bb, cb].
+
+    Per-tile unrolled loop: Mosaic supports neither strided slices
+    (vector.extract_strided_slice wants stride 1) nor general
+    transposes, so every access is a single leading-dim index producing
+    a [bb, cb] vector — tile-shaped for the VPU."""
+    x = x_ref[:].astype(jnp.float32)
+    for ti in range(th):
+        for tj in range(tw):
+            d = [[x[4 * ti + i, 4 * tj + j] for j in range(_T)]
+                 for i in range(_T)]
+            t1 = [_bt_combos([d[i][j] for i in range(_T)])
+                  for j in range(_T)]
+            v = [_bt_combos([t1[j][a] for j in range(_T)])
+                 for a in range(_T)]
+            vt = jnp.stack([v[a][b] for a in range(_T) for b in range(_T)])
+            v_ref[:, ti * tw + tj] = vt.astype(v_ref.dtype)
+
+
+def _output_kernel(m_ref, b_ref, y_ref, *, th: int, tw: int):
+    """m_ref [36, th*tw, bb, kb] (+ bias [1, kb]) -> y_ref
+    [4*th, 4*tw, bb, kb]."""
+    m = m_ref[:].astype(jnp.float32)
+    bias = b_ref[0, :].astype(jnp.float32)
+    for ti in range(th):
+        for tj in range(tw):
+            t = ti * tw + tj
+            t2 = [_at_combos([m[a * _T + b, t] for a in range(_T)])
+                  for b in range(_T)]
+            yy = [_at_combos([t2[b][x] for b in range(_T)])
+                  for x in range(_M)]
+            for x in range(_M):
+                for y in range(_M):
+                    y_ref[4 * ti + x, 4 * tj + y] = \
+                        (yy[x][y] + bias).astype(y_ref.dtype)
+
+
+def _middle_kernel(m_ref, b_ref, v_ref, *, th: int, tw: int,
+                   h: int, wd: int):
+    """Fused inverse-transform -> pad -> forward-transform between two
+    chained Winograd convs: conv1's GEMM output tiles become conv2's
+    transformed input without the spatial activation ever touching HBM
+    (the detector's conv stack has no nonlinearity in between —
+    reference sentiment_detector.py:11-18 appends dropout+relu once
+    after the stack, so the chain point is linear).
+
+    m_ref [36, th*tw, bb, kb] (+ conv1 bias [1, kb]) ->
+    v_ref [36, th*tw, bb, kb]."""
+    m = m_ref[:]       # cast per-access: a full f32 copy would blow VMEM
+    bias = b_ref[0, :].astype(jnp.float32)
+    zero = jnp.zeros(m.shape[2:], jnp.float32)         # [bb, kb]
+
+    # inverse transform of every tile: y[h][w] grids, f32, in VMEM
+    hp, wp = 4 * th + 2, 4 * tw + 2
+    y = [[zero for _ in range(wp)] for _ in range(hp)]
+    for ti in range(th):
+        for tj in range(tw):
+            t = ti * tw + tj
+            t2 = [_at_combos([m[a * _T + b, t].astype(jnp.float32)
+                              for a in range(_T)]) for b in range(_T)]
+            yy = [_at_combos([t2[b][x] for b in range(_T)])
+                  for x in range(_M)]
+            for x in range(_M):
+                for yj in range(_M):
+                    oh, ow = 4 * ti + x, 4 * tj + yj
+                    if oh < h and ow < wd:             # trim the tile pad
+                        # +1: SAME-pad offset of the next conv's input
+                        y[oh + 1][ow + 1] = yy[x][yj] + bias
+
+    # forward transform of the padded activation for the next conv
+    for ti in range(th):
+        for tj in range(tw):
+            d = [[y[4 * ti + i][4 * tj + j] for j in range(_T)]
+                 for i in range(_T)]
+            t1 = [_bt_combos([d[i][j] for i in range(_T)])
+                  for j in range(_T)]
+            v = [_bt_combos([t1[j][a] for j in range(_T)])
+                 for a in range(_T)]
+            vt = jnp.stack([v[a][b] for a in range(_T) for b in range(_T)])
+            v_ref[:, ti * tw + tj] = vt.astype(v_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_c",
+                                             "interpret"))
+def conv3x3_winograd_sm(x, w, b=None, *, block_b: int = 8,
+                        block_c: int = 256, interpret: bool = False):
+    """Winograd 3x3 SAME conv on SPATIAL-MAJOR input.
+
+    x [H, W, B, C], w [3, 3, C, K], b [K] or None -> y [H, W, B, K].
+    B must divide by block_b and C, K by block_c (callers fall back to
+    the direct conv otherwise). Matches the direct conv up to float
+    rounding (tests/test_winograd.py).
+    """
+    h, wd, bsz, cin = x.shape
+    cout = w.shape[-1]
+    th, tw = -(-h // _M), -(-wd // _M)
+    hp, wp = th * _M + 2, tw * _M + 2
+    bb = min(block_b, bsz)
+    cb, kb = min(block_c, cin), min(block_c, cout)
+    assert bsz % bb == 0 and cin % cb == 0 and cout % kb == 0, \
+        (x.shape, w.shape, block_b, block_c)
+    gemm_dtype = x.dtype if jnp.bfloat16 in (x.dtype, w.dtype) \
+        else jnp.float32
+
+    xp = jnp.pad(x, ((1, hp - h - 1), (1, wp - wd - 1), (0, 0), (0, 0)))
+    v = pl.pallas_call(
+        functools.partial(_input_kernel, th=th, tw=tw),
+        grid=(bsz // bb, cin // cb),
+        in_specs=[pl.BlockSpec((hp, wp, bb, cb), lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_T * _T, th * tw, bb, cb),
+                               lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_T * _T, th * tw, bsz, cin),
+                                       gemm_dtype),
+        interpret=interpret,
+    )(xp)
+
+    u = transform_filter(w).astype(gemm_dtype).reshape(_T * _T, cin, cout)
+    # 36 batched GEMMs on the MXU, rows tile-major: n = tile*B + img
+    vf = v.reshape(_T * _T, th * tw * bsz, cin)
+    m = lax.dot_general(vf, u, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+    m = m.astype(gemm_dtype).reshape(_T * _T, th * tw, bsz, cout)
+
+    bias = (b if b is not None
+            else jnp.zeros((cout,), x.dtype)).reshape(1, cout)
+    y = pl.pallas_call(
+        functools.partial(_output_kernel, th=th, tw=tw),
+        grid=(bsz // bb, cout // kb),
+        in_specs=[
+            pl.BlockSpec((_T * _T, th * tw, bb, kb),
+                         lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_M * th, _M * tw, bb, kb),
+                               lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_M * th, _M * tw, bsz, cout),
+                                       x.dtype),
+        interpret=interpret,
+    )(m, bias)
+    return y[:h, :wd]
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_c",
+                                             "interpret"))
+def conv3x3_stack_sm(x, layers, *, block_b: int = 8, block_c: int = 256,
+                     interpret: bool = False):
+    """A CHAIN of 3x3 SAME convs with no nonlinearity in between, fully
+    in the Winograd domain: one input-transform kernel, one GEMM per
+    layer, one fused middle kernel per junction (_middle_kernel), one
+    output-transform kernel. The inter-conv activations never hit HBM in
+    spatial form. x [H, W, B, C] spatial-major; layers = [(w, b), ...].
+    """
+    h, wd, bsz, _ = x.shape
+    th, tw = -(-h // _M), -(-wd // _M)
+    hp, wp = th * _M + 2, tw * _M + 2
+    bb = min(block_b, bsz)
+    assert bsz % bb == 0, (x.shape, block_b)
+    gemm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+    xp = jnp.pad(x, ((1, hp - h - 1), (1, wp - wd - 1), (0, 0), (0, 0)))
+    cin0 = x.shape[-1]
+    cb0 = min(block_c, cin0)
+    assert cin0 % cb0 == 0
+    v = pl.pallas_call(
+        functools.partial(_input_kernel, th=th, tw=tw),
+        grid=(bsz // bb, cin0 // cb0),
+        in_specs=[pl.BlockSpec((hp, wp, bb, cb0), lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_T * _T, th * tw, bb, cb0),
+                               lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_T * _T, th * tw, bsz, cin0),
+                                       gemm_dtype),
+        interpret=interpret,
+    )(xp)
+
+    for li, (w, b) in enumerate(layers):
+        cin, cout = w.shape[2], w.shape[3]
+        kb = min(block_c, cout)
+        assert cout % kb == 0, (w.shape, block_c)
+        u = transform_filter(w).astype(gemm_dtype).reshape(_T * _T, cin,
+                                                           cout)
+        vf = v.reshape(_T * _T, th * tw * bsz, cin)
+        m = lax.dot_general(vf, u, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+        m = m.astype(gemm_dtype).reshape(_T * _T, th * tw, bsz, cout)
+        bias = (b if b is not None
+                else jnp.zeros((cout,), x.dtype)).reshape(1, cout)
+        last = li == len(layers) - 1
+        kern = functools.partial(
+            _output_kernel if last else _middle_kernel, th=th, tw=tw,
+            **({} if last else {"h": h, "wd": wd}))
+        out_shape = ((_M * th, _M * tw, bsz, cout) if last
+                     else (_T * _T, th * tw, bsz, cout))
+        out_block = ((_M * th, _M * tw, bb, kb) if last
+                     else (_T * _T, th * tw, bb, kb))
+        res = pl.pallas_call(
+            kern,
+            grid=(bsz // bb, cout // kb),
+            in_specs=[
+                pl.BlockSpec((_T * _T, th * tw, bb, kb),
+                             lambda i, j: (0, 0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kb), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(out_block, lambda i, j: (0, 0, i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                out_shape, x.dtype if last else gemm_dtype),
+            interpret=interpret,
+        )(m, bias)
+        v = res
+    return v[:h, :wd]
+
+
+def conv3x3_winograd_nhwc(x, w, b=None, *, interpret: bool = False):
+    """[B,H,W,C] wrapper: one transpose in, one out. For a single conv;
+    chained convs (the detector) should stay spatial-major in between."""
+    y = conv3x3_winograd_sm(x.transpose(1, 2, 0, 3), w, b,
+                            interpret=interpret)
+    return y.transpose(2, 0, 1, 3)
