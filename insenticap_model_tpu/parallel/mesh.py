@@ -1,12 +1,22 @@
 """Device mesh + sharding utilities.
 
 The reference is single-GPU (SURVEY.md §2.6) — this layer is new capability,
-designed the JAX way: a 1-D ``data`` mesh over ICI, batch axes sharded with
-NamedSharding, parameters replicated, and gradient reduction left to XLA's
-collectives (jit with sharded inputs inserts the psum — no hand-written
-NCCL-style code). Model parallelism is intentionally out of scope at this
-model scale (<100M params); the mesh abstraction still accepts extra axes so
-larger meshes compile (dryrun_multichip exercises it).
+designed the JAX way: meshes over ICI, batch axes sharded with
+NamedSharding, and every collective left to XLA's GSPMD partitioner (jit
+with sharded operands inserts the psum/all-gather — no hand-written
+NCCL-style code).
+
+Two populated sharding stories:
+
+- ``data`` (the production default): batch sharded, parameters replicated,
+  gradient reduction by XLA. Right for this model scale (<100M params).
+- ``data x model`` (2-D): additionally shards the VOCAB dimension of the
+  captioner's embedding + classifier over the ``model`` axis
+  (captioner_shardings) — the two parameter tensors that dominate memory
+  at production vocab (~10k x hid). Purely annotation-driven: the train
+  steps and the beam decoder are unchanged; GSPMD partitions the
+  log_softmax/argmax reductions. dryrun_multichip and the sharding tests
+  assert both stories match single-device numerics.
 """
 from __future__ import annotations
 
@@ -64,3 +74,36 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def captioner_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for captioner params with the vocab dimension
+    sharded over the ``model`` mesh axis; everything else replicated.
+
+    Sharded tensors (the vocab-sized ones — together ~95% of captioner
+    parameters at the production 10k vocab, reference opts.py settings):
+      - word_embed.table [V, E]   -> P('model', None)
+      - classifier.w     [H, V]   -> P(None, 'model')
+      - classifier.b     [V]      -> P('model')
+    V must divide the model-axis size. Use with a ("data", "model") mesh
+    from make_mesh((dp, tp)).
+    """
+    rep = replicated(mesh)
+
+    def rule(path, x):
+        names = {getattr(p, "key", None) for p in path}
+        if "classifier" in names:
+            if x.ndim == 2:
+                return NamedSharding(mesh, P(None, "model"))
+            return NamedSharding(mesh, P("model"))
+        if "word_embed" in names and x.ndim == 2:
+            return NamedSharding(mesh, P("model", None))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def place(tree, shardings):
+    """device_put every leaf according to a matching sharding pytree."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings)

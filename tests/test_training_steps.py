@@ -286,6 +286,67 @@ def test_sharded_matches_single_device(settings):
     _tree_allclose(p8, p1)
 
 
+def test_model_sharded_matches_single_device(settings):
+    """2-D data x model mesh: the captioner's vocab-dim params (embedding
+    + classifier) sharded over the `model` axis, batch over `data`. The
+    SAME jitted XE and RL steps (no code changes — GSPMD partitions the
+    vocab reductions) must reproduce the (1,)-mesh losses and params, and
+    the beam decoder must emit identical tokens."""
+    from insenticap_model_tpu import inference
+    g = np.random.default_rng(11)
+    bs = 8
+    fns = [f"img{i}" for i in range(bs)]
+    tables, fn2row, _ = _tiny_cider_tables(g, fns)
+
+    tx = optim.make_optimizer(1e-3)
+    xe_train, _ = steps.make_xe_steps(settings, tx)
+    rl = steps.make_rl_steps(settings, tx, IDS, MAXLEN, tables)
+    serve = inference.make_forced_serving_fn(settings, IDS, beam_size=3,
+                                             max_seq_len=MAXLEN)
+
+    batch = _cap_batch(g, bs, settings)
+    batch["att"] = g.normal(
+        size=(bs, 14, 14, settings.att_feat_dim)).astype(np.float32)
+    batch["sentis"] = g.integers(4, V, size=(bs, 6)).astype(np.int32)
+    batch["img_rows"] = np.asarray([fn2row[fn] for fn in fns], np.int32)
+    scs = _scs_batch(g, bs, settings)
+
+    def run(mesh_shape, model_sharded):
+        m = pmesh.make_mesh(mesh_shape)  # default axes: (data, model)
+        params = cap.init_params(jax.random.PRNGKey(0), V, 3, settings)
+        if model_sharded:
+            params = pmesh.place(params,
+                                 pmesh.captioner_shardings(m, params))
+        else:
+            params = pmesh.replicate(m, params)
+        cls_params = pmesh.replicate(m, ss_cls.init_params(
+            jax.random.PRNGKey(1), V, 3, settings))
+        senti_params = pmesh.replicate(m, senti_det.init_params(
+            jax.random.PRNGKey(2), 3, settings))
+        opt_state = tx.init(params)  # zeros_like inherits param shardings
+        sb, sscs = pmesh.shard_batch(m, batch), pmesh.shard_batch(m, scs)
+        p2, opt_state, xe_losses = xe_train(
+            params, opt_state, cls_params, sb, sscs, jax.random.PRNGKey(3),
+            jnp.float32(0.1))
+        frozen = steps.RLModels(senti_detector=senti_params,
+                                sent_senti_cls=cls_params)
+        opt2 = tx.init(p2)
+        p3, _, rl_losses = rl[("fact", True)](p2, opt2, frozen, sb, sscs,
+                                              jax.random.PRNGKey(4))
+        labels = pmesh.shard_batch(
+            m, {"l": scs["senti_labels"]})["l"]
+        seqs, scores = serve(p3, sb["fc"], sb["att"], sb["sentis"], labels)
+        return xe_losses, rl_losses, p3, np.asarray(seqs), np.asarray(scores)
+
+    xe2, rl2, p2d, seqs2, scores2 = run((4, 2), True)
+    xe1, rl1, p1, seqs1, scores1 = run((1,), False)
+    _tree_allclose(xe2, xe1)
+    _tree_allclose(rl2, rl1)
+    _tree_allclose(p2d, p1)
+    np.testing.assert_array_equal(seqs2, seqs1)
+    np.testing.assert_allclose(scores2, scores1, rtol=5e-3, atol=1e-4)
+
+
 def test_head_steps(settings):
     g = np.random.default_rng(3)
     bs, n_cpts = 16, 12
