@@ -56,8 +56,9 @@ def forward(params, features, *, dropout_p: float, rng=None,
     # stack runs SPATIAL-MAJOR [H, W, bs, C] so the chained convs share
     # one entry transpose and none in between. f32 (training / parity
     # tests) keeps the exact direct conv.
-    fast = all(pallas_eligible(features.shape, cp["w"].shape,
-                               features.dtype) for cp in params["convs"])
+    fast = bool(params["convs"]) and all(
+        pallas_eligible(features.shape, cp["w"].shape, features.dtype)
+        for cp in params["convs"])
     if fast:
         from ..ops.winograd_pallas import conv3x3_stack_sm
         # whole conv stack in the Winograd domain: the inter-conv

@@ -169,13 +169,18 @@ def pallas_eligible(x_shape, w_shape, dtype) -> bool:
     TPU backend for Mosaic, and block-divisible batch/channel dims
     (winograd_pallas block sizes). Opt-out: ISC_WINOGRAD=0."""
     import os
-    bsz = x_shape[0]
+    bsz, h, wd = x_shape[0], x_shape[1], x_shape[2]
     # channel dims come from the weight: callers checking a chained
     # stack pass the stack's input shape for every layer
     kh, kw, cin, cout = w_shape
+    # spatial cap: the kernels hold the whole (padded) plane per block and
+    # unroll per tile — validated at the detector's 14x14 (16 tiles);
+    # larger extents would blow the 16 MB scoped VMEM / compile time
+    tiles = (-(-h // 4)) * (-(-wd // 4))
     return ((kh, kw) == (3, 3) and dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
             and bsz % 8 == 0 and cin % 256 == 0 and cout % 256 == 0
+            and tiles <= 16
             and os.environ.get("ISC_WINOGRAD", "1") == "1")
 
 

@@ -118,8 +118,6 @@ def _middle_kernel(m_ref, b_ref, v_ref, *, th: int, tw: int,
             v_ref[:, ti * tw + tj] = vt.astype(v_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "block_c",
-                                             "interpret"))
 def conv3x3_winograd_sm(x, w, b=None, *, block_b: int = 8,
                         block_c: int = 256, interpret: bool = False):
     """Winograd 3x3 SAME conv on SPATIAL-MAJOR input.
@@ -127,60 +125,10 @@ def conv3x3_winograd_sm(x, w, b=None, *, block_b: int = 8,
     x [H, W, B, C], w [3, 3, C, K], b [K] or None -> y [H, W, B, K].
     B must divide by block_b and C, K by block_c (callers fall back to
     the direct conv otherwise). Matches the direct conv up to float
-    rounding (tests/test_winograd.py).
-    """
-    h, wd, bsz, cin = x.shape
-    cout = w.shape[-1]
-    th, tw = -(-h // _M), -(-wd // _M)
-    hp, wp = th * _M + 2, tw * _M + 2
-    bb = min(block_b, bsz)
-    cb, kb = min(block_c, cin), min(block_c, cout)
-    assert bsz % bb == 0 and cin % cb == 0 and cout % kb == 0, \
-        (x.shape, w.shape, block_b, block_c)
-    gemm_dtype = x.dtype if jnp.bfloat16 in (x.dtype, w.dtype) \
-        else jnp.float32
-
-    xp = jnp.pad(x, ((1, hp - h - 1), (1, wp - wd - 1), (0, 0), (0, 0)))
-    v = pl.pallas_call(
-        functools.partial(_input_kernel, th=th, tw=tw),
-        grid=(bsz // bb, cin // cb),
-        in_specs=[pl.BlockSpec((hp, wp, bb, cb), lambda i, j: (0, 0, i, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_T * _T, th * tw, bb, cb),
-                               lambda i, j: (0, 0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_T * _T, th * tw, bsz, cin),
-                                       gemm_dtype),
-        interpret=interpret,
-    )(xp)
-
-    u = transform_filter(w).astype(gemm_dtype).reshape(_T * _T, cin, cout)
-    # 36 batched GEMMs on the MXU, rows tile-major: n = tile*B + img
-    vf = v.reshape(_T * _T, th * tw * bsz, cin)
-    m = lax.dot_general(vf, u, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
-    m = m.astype(gemm_dtype).reshape(_T * _T, th * tw, bsz, cout)
-
-    bias = (b if b is not None
-            else jnp.zeros((cout,), x.dtype)).reshape(1, cout)
-    y = pl.pallas_call(
-        functools.partial(_output_kernel, th=th, tw=tw),
-        grid=(bsz // bb, cout // kb),
-        in_specs=[
-            pl.BlockSpec((_T * _T, th * tw, bb, kb),
-                         lambda i, j: (0, 0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_M * th, _M * tw, bb, kb),
-                               lambda i, j: (0, 0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_M * th, _M * tw, bsz, cout),
-                                       x.dtype),
-        interpret=interpret,
-    )(m, bias)
-    return y[:h, :wd]
+    rounding (tests/test_winograd.py). The single-layer case of
+    conv3x3_stack_sm (one kernel sequence, shared implementation)."""
+    return conv3x3_stack_sm(x, ((w, b),), block_b=block_b,
+                            block_c=block_c, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "block_c",

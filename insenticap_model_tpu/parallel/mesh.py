@@ -85,7 +85,7 @@ def captioner_shardings(mesh: Mesh, params):
       - word_embed.table [V, E]   -> P('model', None)
       - classifier.w     [H, V]   -> P(None, 'model')
       - classifier.b     [V]      -> P('model')
-    V must divide the model-axis size. Use with a ("data", "model") mesh
+    The model-axis size must divide V. Use with a ("data", "model") mesh
     from make_mesh((dp, tp)).
     """
     rep = replicated(mesh)

@@ -145,11 +145,14 @@ def test_detector_fast_path_agrees_with_direct():
     route, making this a layout no-op check)."""
     from insenticap_model_tpu.config import Settings
     from insenticap_model_tpu.models import sentiment_detector as sd
-    settings = Settings(fc_feat_dim=512, sentiment_convs_num=2,
+    # 1024 -> 512 -> 256: every conv's channels are %256, so the pallas
+    # gate actually OPENS for the bf16 call on TPU (512 -> 256 -> 128
+    # would silently fall back to the direct conv on conv2)
+    settings = Settings(fc_feat_dim=1024, sentiment_convs_num=2,
                         sentiment_fcs_num=2)
     params = sd.init_params(jax.random.PRNGKey(3), 3, settings)
     g = np.random.default_rng(3)
-    feats = jnp.asarray(g.normal(size=(8, 14, 14, 512)), jnp.float32)
+    feats = jnp.asarray(g.normal(size=(8, 14, 14, 1024)), jnp.float32)
     lab32, sp32, sc32 = sd.sample(params, feats, 0.0, 2)
     pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
     lab16, sp16, sc16 = sd.sample(pb, feats.astype(jnp.bfloat16), 0.0, 2)
