@@ -226,3 +226,135 @@ def test_rl_step_matches_reference_fixed_rollout():
     jp2, _ = optim.apply_updates(jp, grads, tx.init(jp), tx)
     ref_after = convert.captioner_from_torch(rcap.state_dict())
     assert _tree_max_diff(jp2, ref_after) < 2 * LR
+
+
+def test_concept_detector_training_trajectory():
+    """N steps of the reference train_cpt loop (Adam + clamp +
+    MultiLabelClsLoss, train_cpt.py:78-90) vs steps.make_concept_steps
+    from converted identical weights."""
+    from models.concept_detector import ConceptDetector
+
+    torch.manual_seed(7)
+    n_cpts = 12
+    ref = ConceptDetector([f"c{i}" for i in range(n_cpts)], ref_settings())
+    jp = convert.concept_detector_from_torch(ref.state_dict())
+
+    g = np.random.default_rng(12)
+    bs = 6
+    fc = g.normal(size=(bs, 24)).astype(np.float32)
+    cpts = (g.random(size=(bs, n_cpts)) > 0.7).astype(np.float32)
+
+    optimizer, criterion = ref.get_optim_criterion(LR)
+    ref.train(True)
+    tfc, tcpts = torch.from_numpy(fc), torch.from_numpy(cpts)
+    ref_traj = []
+    n_steps = 5
+    for _ in range(n_steps):
+        loss = criterion(ref(tfc), tcpts)
+        optimizer.zero_grad()
+        loss.backward()
+        _clip(optimizer)
+        optimizer.step()
+        ref_traj.append(loss.item())
+
+    from insenticap_model_tpu.training import steps as jsteps
+    tx = optim.make_optimizer(LR, GRAD_CLIP)
+    train_step, _ = jsteps.make_concept_steps(our_settings(), tx)
+    st = tx.init(jp)
+    batch = {"fc": jnp.asarray(fc), "cpts": jnp.asarray(cpts)}
+    for i in range(n_steps):
+        jp, st, loss = train_step(jp, st, batch, jax.random.PRNGKey(i))
+        assert float(loss) == pytest.approx(ref_traj[i], rel=2e-3,
+                                            abs=2e-4), i
+    ref_final = convert.concept_detector_from_torch(ref.state_dict())
+    assert _tree_max_diff(jp, ref_final) < 2 * LR * n_steps
+
+
+def test_sentiment_detector_training_trajectory():
+    """N steps of the reference train_senti loop (Adam + clamp + CE,
+    train_senti.py:70-84) vs steps.make_senti_steps."""
+    from models.sentiment_detector import SentimentDetector
+
+    torch.manual_seed(8)
+    ref = SentimentDetector(SENTI_CATS, ref_settings())
+    jp = convert.sentiment_detector_from_torch(ref.state_dict())
+
+    g = np.random.default_rng(13)
+    bs = 6
+    att = g.normal(size=(bs, 14, 14, 24)).astype(np.float32)
+    labels = g.integers(0, 3, size=(bs,))
+
+    optimizer, criterion = ref.get_optim_criterion(LR)
+    ref.train(True)
+    tatt = torch.from_numpy(att)
+    tlab = torch.from_numpy(labels)
+    ref_traj = []
+    n_steps = 5
+    for _ in range(n_steps):
+        pred, _ = ref(tatt)
+        loss = criterion(pred, tlab)
+        optimizer.zero_grad()
+        loss.backward()
+        _clip(optimizer)
+        optimizer.step()
+        ref_traj.append(loss.item())
+
+    from insenticap_model_tpu.training import steps as jsteps
+    tx = optim.make_optimizer(LR, GRAD_CLIP)
+    train_step, _ = jsteps.make_senti_steps(our_settings(), tx)
+    st = tx.init(jp)
+    batch = {"att": jnp.asarray(att),
+             "labels": jnp.asarray(labels.astype(np.int32))}
+    for i in range(n_steps):
+        jp, st, loss = train_step(jp, st, batch, jax.random.PRNGKey(i))
+        assert float(loss) == pytest.approx(ref_traj[i], rel=2e-3,
+                                            abs=2e-4), i
+    ref_final = convert.sentiment_detector_from_torch(ref.state_dict())
+    assert _tree_max_diff(jp, ref_final) < 2 * LR * n_steps
+
+
+def test_sent_senti_cls_training_trajectory():
+    """N steps of the reference train_sent_senti_cls_rnn loop (Adam +
+    clamp + CE, train_sent_senti_cls_rnn.py:114-125) vs
+    steps.make_cls_steps (packed-LSTM semantics under scan)."""
+    from models.sent_senti_cls import SentenceSentimentClassifier
+
+    torch.manual_seed(9)
+    ref = SentenceSentimentClassifier(IDX2WORD, SENTI_CATS, ref_settings())
+    jp = convert.sent_senti_cls_from_torch(ref.state_dict())
+
+    g = np.random.default_rng(14)
+    bs, T = 6, 9
+    lengths = np.asarray([9, 8, 7, 5, 4, 3])
+    caps = np.zeros((bs, T), np.int64)
+    for i, L in enumerate(lengths):
+        caps[i, :L] = g.integers(4, V, size=L)
+    labels = g.integers(0, 3, size=(bs,))
+
+    optimizer, criterion = ref.get_optim_and_crit(LR)
+    ref.train(True)
+    tcaps, tlab = torch.from_numpy(caps), torch.from_numpy(labels)
+    ref_traj = []
+    n_steps = 5
+    for _ in range(n_steps):
+        pred, _ = ref(tcaps, list(lengths))
+        loss = criterion(pred, tlab)
+        optimizer.zero_grad()
+        loss.backward()
+        _clip(optimizer)
+        optimizer.step()
+        ref_traj.append(loss.item())
+
+    from insenticap_model_tpu.training import steps as jsteps
+    tx = optim.make_optimizer(LR, GRAD_CLIP)
+    train_step, _ = jsteps.make_cls_steps(our_settings(), tx)
+    st = tx.init(jp)
+    batch = {"caps": jnp.asarray(caps.astype(np.int32)),
+             "lengths": jnp.asarray(lengths.astype(np.int32)),
+             "labels": jnp.asarray(labels.astype(np.int32))}
+    for i in range(n_steps):
+        jp, st, loss = train_step(jp, st, batch, jax.random.PRNGKey(i))
+        assert float(loss) == pytest.approx(ref_traj[i], rel=2e-3,
+                                            abs=2e-4), i
+    ref_final = convert.sent_senti_cls_from_torch(ref.state_dict())
+    assert _tree_max_diff(jp, ref_final) < 2 * LR * n_steps
