@@ -129,6 +129,39 @@ def make_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
     return fn
 
 
+def make_sharded_serving_fn(mesh, settings, ids: cap.TokenIds,
+                            beam_size: int = 3, max_seq_len: int = 16):
+    """Multi-chip serving: detect_and_decode data-parallel over `mesh`'s
+    `data` axis via shard_map — each device runs the FULL single-chip
+    serving program on its batch shard.
+
+    This (not jit-with-sharded-operands) is the scale-out path for real
+    multi-chip serving: the hot path contains pallas kernels (beam-shared
+    attention, Winograd detector convs) which XLA's GSPMD partitioner
+    cannot split, so they must run per-device on locally-shaped shards.
+    Params replicate; the global batch must divide the data-axis size
+    (and the per-device shard keeps the kernels' batch divisibility,
+    e.g. 384 over 8 chips -> 48 per chip).
+
+    Returns a jitted fn(params, fc, att, sentis) with globally-sharded
+    inputs/outputs; numerics identical to the single-chip fn
+    (tests/test_inference.py::test_sharded_serving_matches_single)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(params, fc, att, sentis):
+        return detect_and_decode(params, fc, att, sentis,
+                                 settings=settings, ids=ids,
+                                 beam_size=beam_size,
+                                 max_seq_len=max_seq_len)
+
+    smapped = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False)
+    return jax.jit(smapped)
+
+
 def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
                            max_seq_len: int = 16,
                            return_weights: bool = False):

@@ -160,3 +160,32 @@ def test_return_weights(settings):
         np.testing.assert_allclose(np.asarray(w["cont"]),
                                    cont[:, 0, t], atol=1e-5)
         it = jnp.asarray(top[:, t])
+
+
+def test_sharded_serving_matches_single(settings):
+    """make_sharded_serving_fn (shard_map over the data axis — the
+    multi-chip path that keeps the pallas kernels legal per-device) must
+    reproduce the single-chip detect_and_decode exactly."""
+    from insenticap_model_tpu.parallel import mesh as pmesh
+    g = np.random.default_rng(5)
+    bs, T = 16, 8
+    p = _params(settings)
+    fc = jnp.asarray(g.normal(size=(bs, settings.fc_feat_dim)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, 14, 14, settings.att_feat_dim)),
+                      jnp.float32)
+    sentis = jnp.asarray(g.integers(4, V, size=(bs, 6)), jnp.int32)
+
+    ref_fn = inference.make_serving_fn(settings, IDS, beam_size=3,
+                                       max_seq_len=T)
+    seqs1, scores1, labels1 = ref_fn(p, fc, att, sentis)
+
+    m = pmesh.make_mesh((8,))
+    fn = inference.make_sharded_serving_fn(m, settings, IDS, beam_size=3,
+                                           max_seq_len=T)
+    ps = pmesh.replicate(m, p)
+    sb = pmesh.shard_batch(m, {"fc": fc, "att": att, "sentis": sentis})
+    seqs8, scores8, labels8 = fn(ps, sb["fc"], sb["att"], sb["sentis"])
+    np.testing.assert_array_equal(np.asarray(seqs8), np.asarray(seqs1))
+    np.testing.assert_allclose(np.asarray(scores8), np.asarray(scores1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(labels8), np.asarray(labels1))
