@@ -137,9 +137,46 @@ class Runtime:
         return int(self.mesh.devices.size)
 
     def round_bs(self, bs: int) -> int:
-        """Round batch size up to a multiple of the mesh width."""
-        n = self.num_devices
+        """Round batch size up to a multiple of the data-axis width
+        (batches shard over `data` only; on a 2-D data x model mesh the
+        model axis does not constrain the batch)."""
+        n = int(self.mesh.shape.get("data", self.num_devices))
         return -(-bs // n) * n
+
+    def place_captioner(self, params):
+        """Place captioner params on the mesh: on a 2-D data x model mesh
+        the vocab-dim tensors (embedding + classifier) shard over `model`
+        (parallel/mesh.captioner_shardings); otherwise replicate. Falls
+        back to replication (with a warning) when the vocab does not
+        divide the model axis."""
+        ms = int(self.mesh.shape.get("model", 1))
+        if ms > 1:
+            vocab = params["word_embed"]["table"].shape[0]
+            if vocab % ms == 0:
+                return pmesh.place(params,
+                                   pmesh.captioner_shardings(self.mesh,
+                                                             params))
+            print(f"====> WARNING: vocab {vocab} does not divide model "
+                  f"axis {ms}; captioner params replicated instead")
+        return pmesh.replicate(self.mesh, params)
+
+    def place_opt_state(self, opt_state, placed_params, tx):
+        """Place a (possibly checkpoint-loaded, host-side) optimizer
+        state to match the placed params: leaf shardings are taken from
+        a fresh tx.init on the placed params (zeros_like inherits the
+        param shardings)."""
+        template = tx.init(placed_params)
+        rep = pmesh.replicated(self.mesh)
+
+        def put(v, t):
+            s = t.sharding
+            # scalars (optax count) come back uncommitted single-device;
+            # replicate them over the mesh
+            if not isinstance(s, jax.sharding.NamedSharding):
+                s = rep
+            return jax.device_put(jnp.asarray(v), s)
+
+        return jax.tree_util.tree_map(put, opt_state, template)
 
     def put(self, batch: Dict) -> Dict:
         """Shard array values over the data axis; cast float feats; keep

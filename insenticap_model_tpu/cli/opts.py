@@ -80,7 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native additions (no reference equivalent)
     p.add_argument("--mesh_shape", type=json.loads,
                    default=json.dumps(list(d.mesh_shape)),
-                   help="mesh shape, e.g. [4]; [] = all devices, 1-D")
+                   help="mesh shape: [4] = 4-way data parallel; [4,2] = "
+                        "data x model (captioner vocab dims sharded over "
+                        "the 2-wide model axis); [] = all devices, 1-D")
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=d.seed)

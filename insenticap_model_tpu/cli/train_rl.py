@@ -175,10 +175,10 @@ def train(opt: Opts):
                                         beam_size=opt.beam_size,
                                         max_seq_len=opt.max_seq_len)
 
-    params = rt.replicate(rt.cast(params))
+    params = rt.place_captioner(rt.cast(params))
     senti_params = rt.replicate(rt.cast(senti_params))
     cls_params = rt.replicate(rt.cast(cls_params))
-    opt_state = rt.replicate(opt_state)
+    opt_state = rt.place_opt_state(opt_state, params, tx)
     frozen = steps.RLModels(senti_detector=senti_params,
                             sent_senti_cls=cls_params)
 

@@ -105,9 +105,9 @@ def train(opt: Opts):
                                    ids=ids, beam_size=opt.beam_size,
                                    max_seq_len=opt.max_seq_len)
 
-    params = rt.replicate(rt.cast(params))
+    params = rt.place_captioner(rt.cast(params))
     cls_params = rt.replicate(rt.cast(cls_params))
-    opt_state = rt.replicate(opt_state)
+    opt_state = rt.place_opt_state(opt_state, params, tx)
 
     ck_dir, result_dir = common.stage_dirs(opt, "xe")
     previous_loss = None

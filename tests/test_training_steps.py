@@ -394,3 +394,41 @@ def test_head_steps(settings):
         p, st, loss = tr(p, st, batch, jax.random.PRNGKey(i))
         l0 = l0 or float(loss)
     assert float(loss) < l0
+
+
+def test_runtime_places_captioner_model_sharded(settings):
+    """cli/common.Runtime on a (4,2) data x model mesh shards the
+    captioner's vocab-dim params + optimizer state and the jitted XE
+    step runs on them; on a 1-D mesh everything replicates."""
+    from jax.sharding import PartitionSpec as P
+    from insenticap_model_tpu.cli.common import Runtime
+    from insenticap_model_tpu.config import Opts
+
+    opt = Opts(settings=settings, mesh_shape=(4, 2),
+               compute_dtype="float32")
+    rt = Runtime(opt)
+    assert rt.round_bs(6) == 8  # data axis is 4, not 8
+
+    tx = optim.make_optimizer(1e-3)
+    params = cap.init_params(jax.random.PRNGKey(0), V, 3, settings)
+    host_opt_state = tx.init(params)
+    params = rt.place_captioner(rt.cast(params))
+    spec = params["classifier"]["w"].sharding.spec
+    assert spec == P(None, "model"), spec
+    assert params["word_embed"]["table"].sharding.spec == P("model", None)
+    assert params["fc_embed"]["w"].sharding.spec == P()
+
+    opt_state = rt.place_opt_state(host_opt_state, params, tx)
+    cls_params = rt.replicate(ss_cls.init_params(
+        jax.random.PRNGKey(1), V, 3, settings))
+    g = np.random.default_rng(15)
+    batch = _cap_batch(g, 8, settings)
+    scs = _scs_batch(g, 8, settings)
+    sb, sscs = rt.put(batch), rt.put(scs)
+    train_step, _ = steps.make_xe_steps(settings, tx)
+    p2, opt_state, losses = train_step(params, opt_state, cls_params, sb,
+                                       sscs, jax.random.PRNGKey(2),
+                                       jnp.float32(0.0))
+    assert np.isfinite(float(losses["all_loss"]))
+    # updated params keep the model sharding
+    assert p2["classifier"]["w"].sharding.spec == P(None, "model")
