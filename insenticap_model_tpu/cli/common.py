@@ -131,6 +131,11 @@ class Runtime:
         n = self.mesh.devices.size
         print(f"====> mesh: {tuple(self.mesh.shape.values())} "
               f"({n} device(s)), compute dtype {opt.compute_dtype}")
+        if int(self.mesh.shape.get("model", 1)) > 1:
+            print("====> NOTE: the model axis only shards the captioner "
+                  "(train_xe/train_rl via place_captioner); trainers "
+                  "without a captioner duplicate work across it — use a "
+                  "1-D mesh for those")
 
     @property
     def num_devices(self) -> int:
@@ -153,6 +158,18 @@ class Runtime:
         if ms > 1:
             vocab = params["word_embed"]["table"].shape[0]
             if vocab % ms == 0:
+                if jax.default_backend() == "tpu":
+                    # the per-epoch decode dumps jit pallas custom calls
+                    # (beam-shared attention, Winograd convs) which GSPMD
+                    # cannot partition over model-sharded operands — force
+                    # the plain-XLA path for this run. (Multi-chip SERVING
+                    # keeps pallas via inference.make_sharded_serving_fn's
+                    # shard_map, which runs the kernels per-device.)
+                    os.environ["ISC_FUSED_ATT"] = "0"
+                    os.environ["ISC_WINOGRAD"] = "0"
+                    print("====> model-sharded captioner: pallas decode "
+                          "kernels disabled for this run (GSPMD cannot "
+                          "partition Mosaic custom calls)")
                 return pmesh.place(params,
                                    pmesh.captioner_shardings(self.mesh,
                                                              params))
@@ -164,7 +181,9 @@ class Runtime:
         """Place a (possibly checkpoint-loaded, host-side) optimizer
         state to match the placed params: leaf shardings are taken from
         a fresh tx.init on the placed params (zeros_like inherits the
-        param shardings)."""
+        param shardings; jax.eval_shape does NOT propagate shardings, so
+        the template is materialized — a transient 2x-params allocation,
+        ~80 MB at production scale, startup-only)."""
         template = tx.init(placed_params)
         rep = pmesh.replicated(self.mesh)
 

@@ -419,6 +419,14 @@ def test_runtime_places_captioner_model_sharded(settings):
     assert params["fc_embed"]["w"].sharding.spec == P()
 
     opt_state = rt.place_opt_state(host_opt_state, params, tx)
+    # the Adam moments must inherit the model sharding (the memory point
+    # of tp) — a silent replication fallback here must fail the test
+    moment_specs = [
+        leaf.sharding.spec for leaf in jax.tree_util.tree_leaves(opt_state)
+        if getattr(leaf, "ndim", 0) == 2
+        and leaf.shape == params["classifier"]["w"].shape]
+    assert moment_specs and all(s == P(None, "model")
+                                for s in moment_specs), moment_specs
     cls_params = rt.replicate(ss_cls.init_params(
         jax.random.PRNGKey(1), V, 3, settings))
     g = np.random.default_rng(15)
