@@ -65,14 +65,80 @@ _R = 3   # kernel
 _T = _M + _R - 1  # 6: input tile / transform size
 
 
-def transform_filter(w, accum_dtype=jnp.float32):
-    """w [3, 3, Cin, Cout] -> U [6, 6, Cin, Cout] = G w G^T (per channel
+def transform_filter(w, accum_dtype=jnp.float32, g_mat=None):
+    """w [3, 3, Cin, Cout] -> U [t, t, Cin, Cout] = G w G^T (per channel
     pair). Cheap relative to the main GEMM (~0.1% of its FLOPs); runs per
-    call so converted checkpoints keep their spatial-domain layout."""
-    g = jnp.asarray(_G, accum_dtype)
+    call so converted checkpoints keep their spatial-domain layout.
+    g_mat: the [t, 3] filter-transform matrix (default: F(4x4,3x3))."""
+    g = jnp.asarray(_G if g_mat is None else g_mat, accum_dtype)
     w = w.astype(accum_dtype)
     u = jnp.einsum("ur,rsio->usio", g, w)
     return jnp.einsum("vs,usio->uvio", g, u)
+
+
+def cook_toom(m: int, r: int, points):
+    """Generate F(m, r) Winograd matrices (A^T [m,t], G [t,r], B^T [t,t])
+    by transposed Toom-Cook over t-1 finite points + infinity, in exact
+    rational arithmetic: y = A^T [(G g) * (B^T d)] equals the m-output
+    valid correlation of d (len t) with g (len r).
+
+    Derivation: convolution is C_g = V^-1 diag(V_r g) V_m over the
+    extended Vandermonde V (finite evaluations + leading coefficient at
+    infinity); correlation is its transpose, giving A^T = V_m^T,
+    B^T = V^-T, G = V_r. Validated against direct correlation in
+    tests/test_winograd.py."""
+    from fractions import Fraction
+    t = m + r - 1
+    assert len(points) == t - 1, (m, r, points)
+    a = [Fraction(x) for x in points]
+
+    def vand(width):
+        rows = [[p ** k for k in range(width)] for p in a]
+        rows.append([Fraction(0)] * (width - 1) + [Fraction(1)])
+        return rows
+
+    full = vand(t)
+    aug = [row[:] + [Fraction(int(i == j)) for j in range(t)]
+           for i, row in enumerate(full)]
+    for col in range(t):
+        piv = next(i for i in range(col, t) if aug[i][col] != 0)
+        aug[col], aug[piv] = aug[piv], aug[col]
+        pv = aug[col][col]
+        aug[col] = [x / pv for x in aug[col]]
+        for i in range(t):
+            if i != col and aug[i][col] != 0:
+                f = aug[i][col]
+                aug[i] = [x - f * y for x, y in zip(aug[i], aug[col])]
+    vinv = [row[t:] for row in aug]
+    tofl = lambda rows: np.array([[float(x) for x in rr] for rr in rows],
+                                 dtype=np.float32)
+    return tofl(vand(m)).T, tofl(vand(r)), tofl(vinv).T
+
+
+# F(5x5, 3x3): 4.0x effective multiply reduction on the 14x14 detector
+# grid (vs 2.95x for F(4x4,3x3)): 49/25 multiplies per output and only
+# 15x15-vs-14x14 tile waste. Points chosen for small constants
+# (|B^T| <= 5); transform arithmetic stays f32 either way.
+from fractions import Fraction as _Fr
+_AT5, _G5, _BT5 = cook_toom(5, 3, [0, 1, -1, 2, -2, _Fr(1, 2)])
+
+
+def apply_rows(mat, vecs):
+    """Apply a small transform matrix to a list of equal-shape arrays,
+    unrolled as sparse multiply-adds (what Mosaic wants; a K=6 einsum
+    lowers to MXU matmuls + layout copies and measured 3.4x slower than
+    direct conv end-to-end)."""
+    out = []
+    for row in mat:
+        acc = None
+        for c, v in zip(row, vecs):
+            c = float(c)
+            if c == 0.0:
+                continue
+            term = v if c == 1.0 else c * v
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return out
 
 
 def _bt_combos(d):

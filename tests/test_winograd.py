@@ -80,11 +80,15 @@ def test_winograd_pallas_chained_spatial_major():
     xs = x.transpose(1, 2, 0, 3)
     # the fully-fused chain (one kernel per junction, activations stay
     # in VMEM) — this is what the detector runs; per-conv _sm parity is
-    # covered by test_winograd_pallas_matches_direct_f32
-    got = conv3x3_stack_sm(xs, [(w1, b1), (w2, b2)],
-                           interpret=not ON_TPU).transpose(2, 0, 1, 3)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+    # covered by test_winograd_pallas_matches_direct_f32. Both tile
+    # variants (f5 is the detector default; matrices from the exact
+    # Cook-Toom generator) must match the direct chain.
+    for variant in ("f4", "f5"):
+        got = conv3x3_stack_sm(xs, [(w1, b1), (w2, b2)],
+                               interpret=not ON_TPU,
+                               variant=variant).transpose(2, 0, 1, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=variant)
 
 
 def test_winograd_bf16_within_bf16_noise():
@@ -160,3 +164,30 @@ def test_detector_fast_path_agrees_with_direct():
     np.testing.assert_allclose(np.asarray(sc16, np.float32),
                                np.asarray(sc32), atol=0.05)
     assert (np.asarray(lab16) == np.asarray(lab32)).mean() >= 0.8
+
+
+def test_cook_toom_generator():
+    """The transposed-Toom-Cook generator (ops/winograd.cook_toom)
+    produces exact F(m,r) matrices: y = A^T[(G g) * (B^T d)] equals the
+    valid 1-D correlation, for the shipped F(4,3)/F(5,3) point sets and
+    an unrelated one."""
+    from fractions import Fraction
+    from insenticap_model_tpu.ops.winograd import cook_toom
+    rng = np.random.default_rng(6)
+    cases = [
+        (4, 3, [0, 1, -1, 2, -2]),
+        (5, 3, [0, 1, -1, 2, -2, Fraction(1, 2)]),
+        (2, 3, [0, 1, -1]),
+        (3, 2, [0, 1, -1]),
+    ]
+    for m, r, pts in cases:
+        at, g_m, bt = cook_toom(m, r, pts)
+        t = m + r - 1
+        for _ in range(10):
+            d = rng.normal(size=t)
+            g = rng.normal(size=r)
+            ref = np.array([sum(d[i + j] * g[j] for j in range(r))
+                            for i in range(m)])
+            got = at @ ((g_m @ g) * (bt @ d))
+            np.testing.assert_allclose(got, ref, atol=1e-5,
+                                       err_msg=str((m, r)))
