@@ -122,6 +122,9 @@ def cook_toom(m: int, r: int, points):
 from fractions import Fraction as _Fr
 _AT5, _G5, _BT5 = cook_toom(5, 3, [0, 1, -1, 2, -2, _Fr(1, 2)])
 
+# (F(7x7,3x3) was also generated and measured — rejected: no speed win
+# and bf16-destroying transform amplification; see winograd_pallas.py.)
+
 
 def apply_rows(mat, vecs):
     """Apply a small transform matrix to a list of equal-shape arrays,

@@ -34,7 +34,12 @@ from .winograd import (_AT, _AT5, _BT, _BT5, _G, _G5, apply_rows,
                        transform_filter)
 
 # variant registry: name -> (m = output tile, A^T [m,t], G [t,3],
-# B^T [t,t]); t = m + 2 for r = 3
+# B^T [t,t]); t = m + 2 for r = 3.
+# F(7x7,3x3) (zero tile waste on 14x14, 5.45x multiplies) was generated
+# and measured too: NOT shipped — no speed win (12.17 vs 12.10 ms, the
+# stack is no longer GEMM-bound at f5) and its transform amplification
+# (~4451 vs f5's 526 max-abs-row-sum product) makes bf16 outputs wrong
+# by 3.5x the signal scale.
 VARIANTS = {
     "f4": (4, _AT, _G, _BT),      # F(4x4,3x3): 36 GEMMs, 2.95x eff.
     "f5": (5, _AT5, _G5, _BT5),   # F(5x5,3x3): 49 GEMMs, 4.0x eff.
