@@ -67,6 +67,23 @@ def test_winograd_pallas_matches_direct_f32(shape):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_winograd_pallas_f5_odd_extents():
+    """The f5 tile variant on odd, non-square extents (7x9: th=tw=2 with
+    trim on both dims) — the detector's 14x14 never exercises f5's
+    trim path."""
+    from insenticap_model_tpu.ops.winograd_pallas import conv3x3_winograd_sm
+    g = np.random.default_rng(7)
+    x = jnp.asarray(g.normal(size=(8, 7, 9, 5)), jnp.float32)
+    wt = jnp.asarray(g.normal(size=(3, 3, 5, 4)), jnp.float32) * 0.1
+    b = jnp.asarray(g.normal(size=(4,)), jnp.float32)
+    ref = _direct(x, wt, b)
+    got = conv3x3_winograd_sm(x.transpose(1, 2, 0, 3), wt, b,
+                              interpret=not ON_TPU,
+                              variant="f5").transpose(2, 0, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_winograd_pallas_chained_spatial_major():
     """Two chained convs in the spatial-major layout (as the detector
     runs them) == two direct convs."""
