@@ -16,25 +16,20 @@ step, captioner.py:380-411), not device FLOPs.
 Usage: python bench_reference.py [n_images]  -> one JSON line.
 """
 import json
+import os
 import sys
 import time
 
-REF = "/root/reference"
-if REF not in sys.path:
-    sys.path.insert(0, REF)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools"))
+from ref_common import (NUM_SENTIS, SENTI_CATS, SETTINGS,  # noqa: E402
+                        VOCAB, add_ref_path)
+from ref_common import idx2word as _idx2word  # noqa: E402
+
+add_ref_path()
 
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
-
-VOCAB = 10000
-NUM_SENTIS = 10
-SENTI_CATS = ["positive", "negative", "neutral"]
-SETTINGS = {  # reference opts.py:79-96
-    "word_emb_dim": 512, "fc_feat_dim": 2048, "att_feat_dim": 2048,
-    "feat_emb_dim": 512, "dropout_p": 0.5, "rnn_hid_dim": 512,
-    "att_hid_dim": 512, "concept_mid_him": 1024,
-    "sentiment_convs_num": 2, "sentiment_fcs_num": 2,
-}
 
 
 def main():
@@ -42,10 +37,8 @@ def main():
     from models.captioner import Captioner
     from models.sentiment_detector import SentimentDetector
 
-    idx2word = ["<PAD>", "<UNK>", "<SOS>", "<EOS>"] + [
-        f"w{i}" for i in range(VOCAB - 4)]
     torch.manual_seed(0)
-    captioner = Captioner(idx2word, SENTI_CATS, SETTINGS).eval()
+    captioner = Captioner(_idx2word(), SENTI_CATS, SETTINGS).eval()
     senti_det = SentimentDetector(SENTI_CATS, SETTINGS).eval()
 
     g = np.random.default_rng(0)

@@ -126,6 +126,7 @@ class Runtime:
     def __init__(self, opt: Opts):
         self.opt = opt
         self.mesh = pmesh.make_mesh(opt.mesh_shape or None)
+        self.model_sharded = False  # set by place_captioner
         self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" \
             else jnp.float32
         n = self.mesh.devices.size
@@ -155,27 +156,33 @@ class Runtime:
         back to replication (with a warning) when the vocab does not
         divide the model axis."""
         ms = int(self.mesh.shape.get("model", 1))
+        self.model_sharded = False
         if ms > 1:
             vocab = params["word_embed"]["table"].shape[0]
             if vocab % ms == 0:
-                if jax.default_backend() == "tpu":
-                    # the per-epoch decode dumps jit pallas custom calls
-                    # (beam-shared attention, Winograd convs) which GSPMD
-                    # cannot partition over model-sharded operands — force
-                    # the plain-XLA path for this run. (Multi-chip SERVING
-                    # keeps pallas via inference.make_sharded_serving_fn's
-                    # shard_map, which runs the kernels per-device.)
-                    os.environ["ISC_FUSED_ATT"] = "0"
-                    os.environ["ISC_WINOGRAD"] = "0"
-                    print("====> model-sharded captioner: pallas decode "
-                          "kernels disabled for this run (GSPMD cannot "
-                          "partition Mosaic custom calls)")
+                self.model_sharded = True
                 return pmesh.place(params,
                                    pmesh.captioner_shardings(self.mesh,
                                                              params))
             print(f"====> WARNING: vocab {vocab} does not divide model "
                   f"axis {ms}; captioner params replicated instead")
         return pmesh.replicate(self.mesh, params)
+
+    def disable_pallas_for_model_sharding(self):
+        """Call from a trainer AFTER a model-sharded place_captioner and
+        BEFORE tracing any decode step: the per-epoch decode dumps jit
+        pallas custom calls (beam-shared attention, Winograd convs) which
+        GSPMD cannot partition over model-sharded operands. Mutates the
+        ISC_* gates process-wide — deliberate for a CLI trainer process;
+        library users doing mixed serving in-process should use
+        inference.make_sharded_serving_fn (shard_map keeps the kernels
+        per-device) and not call this."""
+        if self.model_sharded and jax.default_backend() == "tpu":
+            os.environ["ISC_FUSED_ATT"] = "0"
+            os.environ["ISC_WINOGRAD"] = "0"
+            print("====> model-sharded captioner: pallas decode kernels "
+                  "disabled for this trainer process (GSPMD cannot "
+                  "partition Mosaic custom calls)")
 
     def place_opt_state(self, opt_state, placed_params, tx):
         """Place a (possibly checkpoint-loaded, host-side) optimizer
@@ -190,10 +197,12 @@ class Runtime:
         def put(v, t):
             s = t.sharding
             # scalars (optax count) come back uncommitted single-device;
-            # replicate them over the mesh
+            # replicate them over the mesh. device_put takes host numpy
+            # directly — no jnp.asarray staging hop (that would cost an
+            # extra full transfer of the Adam moments on resume).
             if not isinstance(s, jax.sharding.NamedSharding):
                 s = rep
-            return jax.device_put(jnp.asarray(v), s)
+            return jax.device_put(v, s)
 
         return jax.tree_util.tree_map(put, opt_state, template)
 

@@ -176,6 +176,7 @@ def train(opt: Opts):
                                         max_seq_len=opt.max_seq_len)
 
     params = rt.place_captioner(rt.cast(params))
+    rt.disable_pallas_for_model_sharding()  # before serving fns trace
     senti_params = rt.replicate(rt.cast(senti_params))
     cls_params = rt.replicate(rt.cast(cls_params))
     opt_state = rt.place_opt_state(opt_state, params, tx)

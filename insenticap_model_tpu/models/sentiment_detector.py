@@ -56,7 +56,9 @@ def forward(params, features, *, dropout_p: float, rng=None,
     # stack runs SPATIAL-MAJOR [H, W, bs, C] so the chained convs share
     # one entry transpose and none in between. f32 (training / parity
     # tests) keeps the exact direct conv.
-    fast = bool(params["convs"]) and all(
+    # deterministic-only: pallas_call has no reverse-mode AD rule, so a
+    # bf16 TPU TRAINING step must keep the differentiable direct conv
+    fast = deterministic and bool(params["convs"]) and all(
         pallas_eligible(features.shape, cp["w"].shape, features.dtype)
         for cp in params["convs"])
     if fast:

@@ -161,6 +161,7 @@ def conv3x3_stack_sm(x, layers, *, block_b: int = 8, block_c: int = 256,
     spatial form. x [H, W, B, C] spatial-major; layers = [(w, b), ...];
     variant: F(m x m, 3x3) tile size, see VARIANTS.
     """
+    assert layers, "conv3x3_stack_sm needs at least one conv layer"
     _m, at, g_mat, bt = VARIANTS[variant]
     t = _m + 2
     h, wd, bsz, _ = x.shape

@@ -16,22 +16,14 @@ import os
 import sys
 import time
 
-REF = "/root/reference"
-if REF not in sys.path:
-    sys.path.insert(0, REF)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ref_common import (SENTI_CATS, SETTINGS, T, VOCAB,  # noqa: E402
+                        add_ref_path, clip_gradient, idx2word, synth_caps)
+
+add_ref_path()
 
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
-
-VOCAB = 10000
-SENTI_CATS = ["positive", "negative", "neutral"]
-T = 16
-SETTINGS = {  # reference opts.py:79-96
-    "word_emb_dim": 512, "fc_feat_dim": 2048, "att_feat_dim": 2048,
-    "feat_emb_dim": 512, "dropout_p": 0.5, "rnn_hid_dim": 512,
-    "att_hid_dim": 512, "concept_mid_him": 1024,
-    "sentiment_convs_num": 2, "sentiment_fcs_num": 2,
-}
 
 
 def main():
@@ -40,22 +32,14 @@ def main():
     from models.captioner import Captioner
     from models.sent_senti_cls import SentenceSentimentClassifier
 
-    idx2word = ["<PAD>", "<UNK>", "<SOS>", "<EOS>"] + [
-        f"w{i}" for i in range(VOCAB - 4)]
     torch.manual_seed(0)
-    captioner = Captioner(idx2word, SENTI_CATS, SETTINGS).train()
-    cls = SentenceSentimentClassifier(idx2word, SENTI_CATS,
+    captioner = Captioner(idx2word(), SENTI_CATS, SETTINGS).train()
+    cls = SentenceSentimentClassifier(idx2word(), SENTI_CATS,
                                       SETTINGS).eval()
     optimizer, xe_crit, da_crit = captioner.get_optim_criterion(4e-4)
 
     g = np.random.default_rng(0)
-    caps = np.zeros((bs, T + 1), np.int64)
-    lengths = []
-    for i in range(bs):
-        L = int(g.integers(6, T + 1))
-        caps[i, 0], caps[i, 1:L], caps[i, L] = 2, g.integers(4, VOCAB,
-                                                             size=L - 1), 3
-        lengths.append(L)
+    caps, lengths = synth_caps(g, bs)
     fc = torch.from_numpy(g.normal(size=(bs, 2048)).astype(np.float32))
     att = torch.from_numpy(
         g.normal(size=(bs, 14, 14, 2048)).astype(np.float32))
@@ -66,12 +50,6 @@ def main():
         g.integers(4, VOCAB, size=(bs, 10)).astype(np.int64))
     senti_labels_t = torch.from_numpy(
         g.integers(0, 3, size=(bs,)).astype(np.int64))
-
-    def clip_gradient(optimizer, grad_clip):  # reference utils
-        for group in optimizer.param_groups:
-            for param in group["params"]:
-                if param.grad is not None:
-                    param.grad.data.clamp_(-grad_clip, grad_clip)
 
     def step():
         with torch.no_grad():

@@ -45,19 +45,6 @@ def _batch(g, bs, s):
     }
 
 
-def bench(fn, *args, iters=20):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
-
-
 def main():
     xe_bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     rl_bs = int(sys.argv[2]) if len(sys.argv) > 2 else 40
