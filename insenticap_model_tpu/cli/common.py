@@ -168,21 +168,25 @@ class Runtime:
                   f"axis {ms}; captioner params replicated instead")
         return pmesh.replicate(self.mesh, params)
 
-    def disable_pallas_for_model_sharding(self):
-        """Call from a trainer AFTER a model-sharded place_captioner and
-        BEFORE tracing any decode step: the per-epoch decode dumps jit
-        pallas custom calls (beam-shared attention, Winograd convs) which
-        GSPMD cannot partition over model-sharded operands. Mutates the
-        ISC_* gates process-wide — deliberate for a CLI trainer process;
-        library users doing mixed serving in-process should use
+    def disable_pallas_for_sharded_decode(self):
+        """Call from a trainer AFTER place_captioner and BEFORE tracing
+        any decode step: the per-epoch decode dumps jit pallas custom
+        calls (beam-shared attention, Winograd convs) which GSPMD cannot
+        partition over sharded operands — and that holds for DATA-sharded
+        batches on a multi-chip mesh just as for model-sharded params
+        (ADVICE r2 #2), so any mesh with >1 device disables them. Mutates
+        the ISC_* gates process-wide — deliberate for a CLI trainer
+        process; library users doing mixed serving in-process should use
         inference.make_sharded_serving_fn (shard_map keeps the kernels
         per-device) and not call this."""
-        if self.model_sharded and jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and self.mesh.devices.size > 1:
             os.environ["ISC_FUSED_ATT"] = "0"
             os.environ["ISC_WINOGRAD"] = "0"
-            print("====> model-sharded captioner: pallas decode kernels "
-                  "disabled for this trainer process (GSPMD cannot "
-                  "partition Mosaic custom calls)")
+            why = ("model-sharded captioner" if self.model_sharded
+                   else f"{self.mesh.devices.size}-device mesh")
+            print(f"====> {why}: pallas decode kernels disabled for this "
+                  "trainer process (GSPMD cannot partition Mosaic custom "
+                  "calls over sharded operands)")
 
     def place_opt_state(self, opt_state, placed_params, tx):
         """Place a (possibly checkpoint-loaded, host-side) optimizer

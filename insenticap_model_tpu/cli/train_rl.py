@@ -176,7 +176,7 @@ def train(opt: Opts):
                                         max_seq_len=opt.max_seq_len)
 
     params = rt.place_captioner(rt.cast(params))
-    rt.disable_pallas_for_model_sharding()  # before serving fns trace
+    rt.disable_pallas_for_sharded_decode()  # before serving fns trace
     senti_params = rt.replicate(rt.cast(senti_params))
     cls_params = rt.replicate(rt.cast(cls_params))
     opt_state = rt.place_opt_state(opt_state, params, tx)
@@ -243,37 +243,11 @@ def train(opt: Opts):
 
         # test: both splits through the serving path, grouped by detected
         # sentiment (train_rl.py:252-309)
-        results = {"fact": defaultdict(list), "senti": defaultdict(list)}
-        det_sentis = defaultdict(dict)
-        senti_n = senti_wrong = 0
         sparams = inference.ServingParams(captioner=params,
                                           senti_detector=senti_params)
-        for data_type in ("fact", "senti"):
-            if data_type == "fact":
-                batches = _fact_test_batches(test_fns, bs, fc_store,
-                                             att_store, sentiments_id,
-                                             vocab, opt)
-            else:
-                batches = iter(senti_loaders["test"])
-            for batch in batches:
-                b = rt.put({k: v for k, v in batch.items()
-                            if k in ("fc", "att", "sentis")})
-                seqs, _, det_labels = serving(sparams, b["fc"], b["att"],
-                                              b["sentis"])
-                seqs = np.asarray(seqs)
-                det_labels = np.asarray(det_labels)
-                valid = batch.get("valid", len(batch["fns"]))
-                for i, fn in enumerate(batch["fns"][:valid]):
-                    senti_name = opt.sentiment_categories[det_labels[i]]
-                    txt = vocab.decode_to_text(seqs[i, 0])
-                    results[data_type][senti_name].append(
-                        {"image_id": fn, "caption": txt})
-                    det_sentis[data_type][fn] = senti_name
-                    if data_type == "senti":
-                        senti_n += 1
-                        if det_labels[i] != batch["senti_labels"][i]:
-                            senti_wrong += 1
-        wrong_rate = senti_wrong / max(senti_n, 1)
+        results, det_sentis, wrong_rate = run_test_dump(
+            rt, opt, vocab, serving, sparams, test_fns, bs, fc_store,
+            att_store, sentiments_id, senti_loaders["test"])
 
         _dump_rl_results(result_dir, epoch, results, det_sentis, wrong_rate,
                          vocab)
@@ -291,6 +265,45 @@ def train(opt: Opts):
                 "sentiment_categories": list(opt.sentiment_categories),
                 "dataset_name": opt.dataset_name,
                 "corpus_type": opt.corpus_type})
+
+
+def run_test_dump(rt, opt, vocab, serving, sparams, test_fns, bs, fc_store,
+                  att_store, sentiments_id, senti_test_loader):
+    """Both test splits through the serving path, grouped by detected
+    sentiment, tracking the detected-sentiment wrong-rate on the senti
+    split (reference train_rl.py:252-281). Shared by the per-epoch RL
+    test dump and the paper-table reproduction harness
+    (cli/reproduce_table.py). Returns (results, det_sentis, wrong_rate)
+    in the shapes _dump_rl_results expects."""
+    results = {"fact": defaultdict(list), "senti": defaultdict(list)}
+    det_sentis = defaultdict(dict)
+    senti_n = senti_wrong = 0
+    for data_type in ("fact", "senti"):
+        if data_type == "fact":
+            batches = _fact_test_batches(test_fns, bs, fc_store,
+                                         att_store, sentiments_id,
+                                         vocab, opt)
+        else:
+            batches = iter(senti_test_loader)
+        for batch in batches:
+            b = rt.put({k: v for k, v in batch.items()
+                        if k in ("fc", "att", "sentis")})
+            seqs, _, det_labels = serving(sparams, b["fc"], b["att"],
+                                          b["sentis"])
+            seqs = np.asarray(seqs)
+            det_labels = np.asarray(det_labels)
+            valid = batch.get("valid", len(batch["fns"]))
+            for i, fn in enumerate(batch["fns"][:valid]):
+                senti_name = opt.sentiment_categories[det_labels[i]]
+                txt = vocab.decode_to_text(seqs[i, 0])
+                results[data_type][senti_name].append(
+                    {"image_id": fn, "caption": txt})
+                det_sentis[data_type][fn] = senti_name
+                if data_type == "senti":
+                    senti_n += 1
+                    if det_labels[i] != batch["senti_labels"][i]:
+                        senti_wrong += 1
+    return results, det_sentis, senti_wrong / max(senti_n, 1)
 
 
 def _fact_test_batches(test_fns, bs, fc_store, att_store, sentiments_id,

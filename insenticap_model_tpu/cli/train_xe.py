@@ -106,7 +106,7 @@ def train(opt: Opts):
                                    max_seq_len=opt.max_seq_len)
 
     params = rt.place_captioner(rt.cast(params))
-    rt.disable_pallas_for_model_sharding()  # before decode_step traces
+    rt.disable_pallas_for_sharded_decode()  # before decode_step traces
     cls_params = rt.replicate(rt.cast(cls_params))
     opt_state = rt.place_opt_state(opt_state, params, tx)
 

@@ -99,22 +99,30 @@ def sweep_sentiments(params_captioner, fc, att, sentis_by_label, *,
     """Decode every image under every sentiment label (the paper's
     controllable-sentiment sweep; BASELINE.json config 2). sentis_by_label:
     [num_labels, bs, M] sentiment-word ids per label. Returns
-    (seqs [num_labels, bs, beam, T], scores [num_labels, bs, beam])."""
-    def one_label(label_idx, sentis):
-        labels = jnp.full((fc.shape[0],), label_idx, jnp.int32)
-        ctx, _ = cap.build_visual_context(
-            params_captioner, fc, att, settings.dropout_p,
-            jax.random.PRNGKey(0), True, senti_words=sentis,
-            senti_labels=labels, pad_id=ids.pad)
-        return beam.beam_search_batched(
-            params_captioner, ctx, settings=settings, ids=ids,
-            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
-    seqs, scores = [], []
-    for lab in range(num_labels):
-        s, sc = one_label(lab, sentis_by_label[lab])
-        seqs.append(s)
-        scores.append(sc)
-    return jnp.stack(seqs), jnp.stack(scores)
+    (seqs [num_labels, bs, beam, T], scores [num_labels, bs, beam]).
+
+    One program: the label axis folds into the batch dim (flat
+    [num_labels*bs] rows — the tiny-axis sublane rule, CLAUDE.md/DESIGN.md)
+    so the 3-label sweep is a single trace/compile instead of one per
+    label (VERDICT r2 weak #3), and the decode runs at 3x the row count —
+    better MXU utilization at small bs. Per-row math is unchanged, so the
+    outputs equal the per-label decode exactly
+    (tests/test_inference.py::test_sweep_sentiments)."""
+    bs = fc.shape[0]
+    fc_flat = jnp.tile(fc, (num_labels, 1))
+    att_flat = jnp.tile(att, (num_labels,) + (1,) * (att.ndim - 1))
+    sentis_flat = sentis_by_label.reshape(
+        (num_labels * bs,) + tuple(sentis_by_label.shape[2:]))
+    labels_flat = jnp.repeat(jnp.arange(num_labels, dtype=jnp.int32), bs)
+    ctx, _ = cap.build_visual_context(
+        params_captioner, fc_flat, att_flat, settings.dropout_p,
+        jax.random.PRNGKey(0), True, senti_words=sentis_flat,
+        senti_labels=labels_flat, pad_id=ids.pad)
+    seqs, scores = beam.beam_search_batched(
+        params_captioner, ctx, settings=settings, ids=ids,
+        beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
+    return (seqs.reshape((num_labels, bs) + tuple(seqs.shape[1:])),
+            scores.reshape((num_labels, bs) + tuple(scores.shape[1:])))
 
 
 def make_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,

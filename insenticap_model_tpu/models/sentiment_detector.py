@@ -74,7 +74,11 @@ def forward(params, features, *, dropout_p: float, rng=None,
     else:
         x = features
         for cp in params["convs"]:
-            x = conv2d_fast(cp, x, stride=1, padding="SAME")
+            # allow_pallas only when deterministic: a training step (bf16,
+            # production channels) must keep the differentiable direct
+            # conv — pallas_call has no reverse-mode AD rule (ADVICE r2 #1)
+            x = conv2d_fast(cp, x, stride=1, padding="SAME",
+                            allow_pallas=deterministic)
     if not deterministic:
         x = nn.dropout(rng, x, dropout_p, deterministic)
     x = jax.nn.relu(x)

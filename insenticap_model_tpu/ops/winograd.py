@@ -253,14 +253,20 @@ def pallas_eligible(x_shape, w_shape, dtype) -> bool:
             and os.environ.get("ISC_WINOGRAD", "1") == "1")
 
 
-def conv2d_fast(p, x, stride: int = 1, padding="SAME"):
+def conv2d_fast(p, x, stride: int = 1, padding="SAME", *,
+                allow_pallas: bool = True):
     """Drop-in for nn.conv2d that routes eligible convs through the
     pallas Winograd path (winograd_pallas.py). Everything else falls
     through to the direct conv — f32 training and the parity tests are
     bit-identical to nn.conv2d. (The pure-XLA conv3x3_winograd above is
     NOT used on any hot path: measured 3.4x slower than direct at
-    detector shapes; it documents the algorithm and pins numerics.)"""
-    if stride == 1 and padding == "SAME" \
+    detector shapes; it documents the algorithm and pins numerics.)
+
+    allow_pallas: callers in a differentiated context MUST pass False —
+    pallas_call has no reverse-mode AD rule, so a bf16 TPU training step
+    routed through the Winograd kernel would crash under value_and_grad
+    (ADVICE r2 #1). The shape/dtype gate alone cannot see autodiff."""
+    if allow_pallas and stride == 1 and padding == "SAME" \
             and pallas_eligible(x.shape, p["w"].shape, x.dtype):
         from .winograd_pallas import conv3x3_winograd_nhwc
         return conv3x3_winograd_nhwc(x, p["w"], p.get("b"))

@@ -11,6 +11,9 @@ from insenticap_model_tpu import inference
 from insenticap_model_tpu.models import captioner as cap
 from insenticap_model_tpu.models import sent_senti_cls as ss_cls
 from insenticap_model_tpu.training import optim, steps
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast gate
 
 IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
 V = 24

@@ -14,6 +14,9 @@ from insenticap_model_tpu.models import sentiment_detector as senti_det
 from insenticap_model_tpu.ops import ciderd_device
 from insenticap_model_tpu.rewards.ciderd import build_scorer
 from insenticap_model_tpu.training import optim, steps
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast gate
 
 IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
 V = 24

@@ -208,3 +208,41 @@ def test_cook_toom_generator():
             got = at @ ((g_m @ g) * (bt @ d))
             np.testing.assert_allclose(got, ref, atol=1e-5,
                                        err_msg=str((m, r)))
+
+
+def test_grad_path_never_takes_pallas(monkeypatch):
+    """ADVICE r2 #1 regression: a bf16 TRAINING step on the sentiment
+    detector (non-deterministic forward, eligible shapes) must route its
+    convs through the differentiable direct conv — pallas_call has no
+    reverse-mode AD rule, so routing the differentiated forward through
+    the Winograd kernel crashes under value_and_grad. Forcing the
+    eligibility gate open, the non-deterministic path must still avoid
+    pallas entirely (the grad succeeds and matches the direct conv)."""
+    from insenticap_model_tpu.models import sentiment_detector as sd
+    from insenticap_model_tpu.ops import winograd
+
+    # gate forced open: any pallas routing in the grad path would now
+    # import/launch the Mosaic kernel (crashes off-TPU and under AD)
+    monkeypatch.setattr(winograd, "pallas_eligible", lambda *a: True)
+
+    class S:
+        fc_feat_dim = 32
+        sentiment_convs_num = 2
+        sentiment_fcs_num = 1
+
+    key = jax.random.PRNGKey(0)
+    params = sd.init_params(key, 3, S)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), params)
+    feats = jax.random.normal(key, (8, 14, 14, 32), jnp.bfloat16)
+    labels = jnp.zeros((8,), jnp.int32)
+
+    def loss(p):
+        return sd.xent_loss(p, feats, labels, dropout_p=0.5,
+                            rng=jax.random.PRNGKey(1), deterministic=False)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    gnorm = sum(float(jnp.sum(jnp.abs(g.astype(jnp.float32))))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0.0
