@@ -42,8 +42,25 @@ def build_parser():
                    choices=["part", "full"])
     p.add_argument("--store_format", type=str, default="h5",
                    choices=["h5", "native"])
+    p.add_argument("--feat_bucket_mode", type=str, default="resize",
+                   choices=["exact", "resize"],
+                   help="features stage shape policy: 'resize' (TPU-first "
+                        "default: bounded static bucket ladder, raw-uint8 "
+                        "device batches, O(#buckets) compiles) or 'exact' "
+                        "(reference-parity native sizes, one compile per "
+                        "distinct image shape)")
+    p.add_argument("--feat_bucket_shapes", type=str,
+                   default="448x448,384x512,512x384",
+                   help="comma-separated HxW ladder for "
+                        "--feat_bucket_mode resize")
+    p.add_argument("--feat_batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def _parse_bucket_shapes(spec: str):
+    return tuple(tuple(int(d) for d in part.split("x"))
+                 for part in spec.split(","))
 
 
 def _encoder_params(resnet101_file: str):
@@ -58,7 +75,11 @@ def main(argv=None):
     if a.stage == "features":
         pp.extract_imgs_feat(a.imgs_dir, a.feats_dir,
                              _encoder_params(a.resnet101_file),
-                             store_format=a.store_format)
+                             store_format=a.store_format,
+                             batch_size=a.feat_batch_size,
+                             bucket_mode=a.feat_bucket_mode,
+                             bucket_shapes=_parse_bucket_shapes(
+                                 a.feat_bucket_shapes))
     elif a.stage == "captions":
         pp.process_caption_datasets(a.caption_datasets_dir, a.captions_dir,
                                     a.dataset_names)

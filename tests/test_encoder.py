@@ -12,6 +12,8 @@ import torch.nn as tnn
 
 from insenticap_model_tpu.models import encoder as enc
 
+pytestmark = pytest.mark.slow  # excluded from the fast gate
+
 LAYERS = (3, 4, 23, 3)
 MIDS = (64, 128, 256, 512)
 
@@ -144,3 +146,81 @@ def test_extract_imgs_feat_e2e(tmp_path):
         assert f_fc["img0.jpg"].shape == (2048,)
         assert f_att["img0.jpg"].shape == (14, 14, 2048)
         assert np.isfinite(f_fc["img0.jpg"][:]).all()
+
+
+def test_forward_raw_batch_parity():
+    """The raw-uint8 device path (normalize folded into conv1 + offset
+    map, encoder.forward_raw_batch) equals host preprocess() + the float
+    path to float-reassociation tolerance, including the 3-pixel pad band
+    where the offset map tapers (VERDICT r2 weak #1)."""
+    import jax
+    params = enc.init_params(jax.random.PRNGKey(3))
+    g = np.random.default_rng(7)
+    raw = g.integers(0, 256, size=(2, 70, 66, 3)).astype(np.uint8)
+
+    fc_f, att_f = enc.forward_batch(
+        params, np.stack([enc.preprocess(r) for r in raw]))
+    fc_r, att_r = enc.forward_raw_batch(params, raw)
+    np.testing.assert_allclose(np.asarray(fc_r), np.asarray(fc_f),
+                               rtol=5e-3)
+    # atol scaled to the activation magnitude (random-init activations sit
+    # in the thousands; near-zero ReLU outputs flip sides under
+    # reassociation)
+    scale = float(np.abs(np.asarray(att_f)).max())
+    np.testing.assert_allclose(np.asarray(att_r), np.asarray(att_f),
+                               rtol=5e-3, atol=1e-4 * scale)
+
+
+def test_bucket_assignment_and_resize():
+    from insenticap_model_tpu import preprocessing as pp
+    shapes = pp.DEFAULT_BUCKET_SHAPES
+    assert pp.bucket_for_shape(448, 448, shapes) == (448, 448)
+    assert pp.bucket_for_shape(480, 640, shapes) == (384, 512)  # landscape
+    assert pp.bucket_for_shape(640, 480, shapes) == (512, 384)  # portrait
+    assert pp.bucket_for_shape(500, 510, shapes) == (448, 448)
+
+    g = np.random.default_rng(1)
+    img = g.integers(0, 256, size=(100, 120, 3)).astype(np.uint8)
+    out = pp.resize_to_bucket(img, (64, 96))
+    assert out.shape == (64, 96, 3) and out.dtype == np.uint8
+    # identity when already bucket-shaped (bit-for-bit exactness hook)
+    same = pp.resize_to_bucket(img, (100, 120))
+    assert same is img
+
+
+def test_extract_imgs_feat_resize_mode(tmp_path):
+    """bucket_mode='resize': arbitrary-size images produce O(#buckets)
+    compiled programs; an image already at a bucket shape matches the
+    exact path bit-for-bit (the documented-divergence anchor)."""
+    from PIL import Image
+    import h5py
+    import jax
+    from insenticap_model_tpu import preprocessing as pp
+
+    buckets = ((64, 64), (48, 64), (64, 48))  # tiny ladder for CPU speed
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    g = np.random.default_rng(0)
+    sizes = {"a.jpg": (64, 64), "b.jpg": (100, 130), "c.jpg": (130, 100),
+             "d.jpg": (64, 64)}
+    for nm, (h, w) in sizes.items():
+        arr = g.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(imgs / nm, quality=95)
+
+    params = enc.init_params(jax.random.PRNGKey(0))
+    feats = tmp_path / "feats"
+    pp.extract_imgs_feat(str(imgs), str(feats), params, att_size=2,
+                         batch_size=2, bucket_mode="resize",
+                         bucket_shapes=buckets)
+    with h5py.File(feats / "feats_fc.h5") as f_fc:
+        assert set(f_fc.keys()) == set(sizes)
+        fc_a = f_fc["a.jpg"][:]
+
+    # bit-parity anchor: a.jpg is already (64,64) -> no resize; the same
+    # jitted program on the same batch must reproduce the stored features
+    raw = pp.to_rgb_uint8(pp.load_image(str(imgs / "a.jpg")))
+    d = pp.to_rgb_uint8(pp.load_image(str(imgs / "d.jpg")))
+    fc_direct, _ = jax.jit(
+        lambda p, x: enc.forward_raw_batch(p, x, 2))(params,
+                                                     np.stack([raw, d]))
+    np.testing.assert_array_equal(fc_a, np.asarray(fc_direct[0]))
