@@ -14,6 +14,8 @@ import pytest
 
 from insenticap_model_tpu.config import Opts, Settings
 
+pytestmark = pytest.mark.slow  # excluded from the fast gate
+
 WORDS = ["cat", "dog", "man", "tree", "happy", "sad", "red", "blue",
          "runs", "sits", "big", "small", "nice", "ugly", "good", "bad"]
 CONCEPTS = WORDS[:8]
@@ -221,3 +223,45 @@ def test_f_eval_cls(workdir, capsys):
                                    checkpoint_dir="./checkpoint")
     assert set(acc) == {"all", "positive", "negative", "neutral"}
     assert all(0.0 <= v <= 1.0 for v in acc.values())
+
+
+def test_g_reproduce_table(workdir, capsys):
+    """The paper-table harness (cli/reproduce_table) end-to-end on the
+    synthetic tree: converted-composite load -> serving dump -> metrics /
+    cls / ppl -> §6-format table (VERDICT r2 missing #1). LMs are trained
+    with the in-tree isclm so the ppl column is exercised too."""
+    from insenticap_model_tpu import preprocessing as pp
+    from insenticap_model_tpu.cli import reproduce_table
+
+    # anno ground truth (word-form, the eval_metrics input contract)
+    img_captions = json.load(open("data/captions/coco/img_captions.json"))
+    anno = {fn: [" ".join(c) for c in caps]
+            for split in img_captions for fn, caps in
+            img_captions[split].items()}
+    with open("data/captions/coco/anno_captions.json", "w") as f:
+        json.dump(anno, f)
+
+    # per-sentiment trigram LMs (isclm; built by conftest)
+    pp.get_lm_sents("./data/captions", ["coco"], "part")
+
+    table = reproduce_table.reproduce(
+        _opts(rl_bs=6, beam_size=2,
+              img_senti_labels="data/captions/img_senti_labels.json"),
+        "checkpoint/rl/coco/part/model_0.ckpt", tag="repro",
+        anno_file="data/captions/coco/anno_captions.json",
+        out="result/repro_table.json")
+
+    assert os.path.exists("result/repro_table.json")
+    assert 0.0 <= table["det_sentis_wrong_rate"] <= 1.0
+    assert set(table["splits"]) == {"fact", "senti"}
+    q = table["splits"]["fact"]["quality"]
+    assert q, "no quality rows for the fact split"
+    for senti, row in q.items():
+        assert 0.0 <= row["Bleu-1"] <= 100.0
+        assert row["CIDEr-D"] >= 0.0
+    # ppl exercised via isclm-trained LMs (positive values when computed)
+    ppl = table["splits"]["fact"]["ppl"]
+    if ppl is not None:
+        assert all(v > 0 for v in ppl.values())
+    out = capsys.readouterr().out
+    assert "§6 table [fact split]" in out
