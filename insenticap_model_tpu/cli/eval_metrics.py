@@ -40,6 +40,7 @@ def compute_metrics(result_prefix: str, data_type: str,
                 for fn, sents in json.load(f).items()}
 
     table: Dict[str, Dict[str, float]] = {}
+    meteor_col = "METEOR*"
     for senti in SENTIS:
         path = f"{result_prefix}_{senti}_{data_type}.json"
         if not os.path.exists(path):
@@ -60,15 +61,19 @@ def compute_metrics(result_prefix: str, data_type: str,
         bleu, _ = Bleu(4).compute_score(gts, res)
         cider = CiderD(refs=list(gts.values()))
         c_score, _ = cider.compute_score(gts, res)
-        m_score, _ = Meteor().compute_score(gts, res)
+        meteor = Meteor()
+        m_score, _ = meteor.compute_score(gts, res)
         table[senti] = {
             "Bleu-1": bleu[0] * 100, "Bleu-2": bleu[1] * 100,
             "Bleu-3": bleu[2] * 100, "Bleu-4": bleu[3] * 100,
-            "METEOR*": m_score * 100,  # METEOR-lite (exact+stem stages)
+            # "METEOR" with WordNet data present (full Meteor 1.5 'en'
+            # stages); "METEOR*" when degraded to exact+stem
+            meteor.name: m_score * 100,
             "CIDEr-D": c_score * 100, "n": len(res),
         }
+        meteor_col = meteor.name
 
-    metrics = ["Bleu-1", "Bleu-2", "Bleu-3", "Bleu-4", "METEOR*",
+    metrics = ["Bleu-1", "Bleu-2", "Bleu-3", "Bleu-4", meteor_col,
                "CIDEr-D"]
     header = "Metric    " + "".join(f"{s:>12}" for s in table)
     print(header)

@@ -206,11 +206,14 @@ def _print_section6(table: dict) -> None:
     """README.md:29-36 shape: one row per metric, one column per
     sentiment (the senti split carries pos/neg, fact carries neutral —
     the paper's SentiCap/COCO split convention)."""
-    rows = ("Bleu-1", "Bleu-3", "METEOR*", "CIDEr-D", "ppl", "cls(%)")
     for data_type, d in table["splits"].items():
         sentis = sorted(d["quality"])
         if not sentis:
             continue
+        # METEOR when WordNet data was present, METEOR* otherwise
+        meteor_col = ("METEOR" if "METEOR" in d["quality"][sentis[0]]
+                      else "METEOR*")
+        rows = ("Bleu-1", "Bleu-3", meteor_col, "CIDEr-D", "ppl", "cls(%)")
         print(f"\n== §6 table [{data_type} split] ==")
         print("| Metric | " + " | ".join(sentis) + " |")
         print("|---" * (len(sentis) + 1) + "|")

@@ -1,29 +1,48 @@
-"""METEOR-lite: exact + Porter-stem matching METEOR.
+"""METEOR (Meteor 1.5 'en' task) with graceful degradation to METEOR*.
 
 The paper's results table reports METEOR (SURVEY.md §6) but the reference
 repo contains no METEOR implementation — its numbers came from the external
-coco-caption toolkit (Meteor 1.5). This implementation uses Meteor 1.5's
-'en'-task parameters (α=0.85, β=0.2, γ=0.6) with the exact (weight 1.0) and
-Porter-stem (weight 0.6) match stages; the synonym/paraphrase stages need
-WordNet/paraphrase data unavailable offline, and the function-word
-discount (δ) needs a function-word list, so both are omitted. Labeled
-METEOR* in output: directionally comparable to coco-caption METEOR but NOT
-numerically interchangeable — treat it as an internal tracking metric.
+coco-caption toolkit (Meteor 1.5). This module implements the full Meteor
+1.5 English scoring machinery:
 
-Formula: P = m_w/|hyp|, R = m_w/|ref| (m_w = weighted matches),
-Fmean = P·R / (α·P + (1−α)·R), penalty = γ·(chunks/m)^β over unweighted
-matches, score = Fmean·(1−penalty). Multiple references: max per-reference
-score (coco-caption convention).
+  * match stages exact (w=1.0), Porter-stem (w=0.6), WordNet-synonym
+    (w=0.8) — the paraphrase stage needs Meteor's paraphrase table, which
+    is not redistributable here, and contributes least for 16-token
+    captions;
+  * the function-word discount δ=0.75: function words weigh (1−δ) in the
+    weighted precision/recall, content words δ;
+  * Fmean = P·R / (α·P + (1−α)·R) with α=0.85, fragmentation penalty
+    γ·(chunks/m)^β with γ=0.6, β=0.2; score = Fmean·(1−penalty);
+  * multiple references: max per-reference score (coco-caption
+    convention).
+
+The synonym stage activates when WordNet index files are available —
+set ISC_WORDNET_DIR, or drop the standard `wordnet` corpus under any
+nltk_data path (only the ``index.{noun,verb,adj,adv}`` files are read:
+two words are synonyms when their index entries share a synset offset).
+Without WordNet data the scorer degrades to the exact+stem stages and
+labels itself METEOR* (``Meteor().name``).
+
+Known divergences from the Java Meteor 1.5 (documented, not silent):
+the alignment is greedy-in-stage-order rather than Meteor's beam search
+(ties broken differently on pathological inputs), the paraphrase stage
+is absent, and the built-in function-word list is a standard English
+closed-class list rather than Meteor's corpus-frequency-derived
+``function.words`` (pass ``function_words=`` to substitute the official
+list for exact parity).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import os
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-ALPHA = 0.85   # Meteor 1.5 'en' task
+ALPHA = 0.85   # Meteor 1.5 'en' task parameters
 BETA = 0.2
 GAMMA = 0.6
-W_EXACT = 1.0  # per-stage match weights
+DELTA = 0.75
+W_EXACT = 1.0  # per-stage match weights (Meteor 1.5 'en')
 W_STEM = 0.6
+W_SYN = 0.8
 
 
 try:
@@ -37,67 +56,181 @@ def _stem(w: str) -> str:
     return _STEMMER.stem(w) if _STEMMER is not None else w
 
 
-def _align(hyp: Sequence[str], ref: Sequence[str],
-           hyp_stems: Sequence[str], ref_stems: Sequence[str]
-           ) -> Tuple[int, float, int]:
-    """Greedy two-stage alignment (exact first, then stems). Returns
-    (matches, weighted_matches, chunks). Each hyp/ref token is used at most
-    once; chunks are maximal contiguous-and-monotone alignment runs."""
-    ref_used = [False] * len(ref)
-    hyp_matched: List = [None] * len(hyp)
-    weighted = 0.0
+# Standard English closed-class (function) words: articles, prepositions,
+# conjunctions, pronouns, auxiliaries/modals, common particles. Meteor's
+# own list is corpus-frequency-derived; this one is a documented stand-in
+# (see module docstring).
+FUNCTION_WORDS: Set[str] = set("""
+a an the this that these those some any each every no
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves who whom whose which what
+in on at by for with about against between into through during before
+after above below to from up down out off over under again further of
+and or but nor so yet if then else when while as because since until
+although though whether than
+is am are was were be been being do does did doing have has had having
+will would shall should may might must can could
+not n't there here very too also just only own same such
+""".split())
 
-    def stage(hkeys, rkeys, weight):
-        nonlocal weighted
-        for i, hk in enumerate(hkeys):
+
+class WordNetSynonyms:
+    """Word -> synset-offset sets from WordNet ``index.{pos}`` files
+    (WNdb index format: ``lemma pos synset_cnt p_cnt ptr... sense_cnt
+    tagsense_cnt offset...``). Two words are synonym-matched when they
+    share any (pos, offset)."""
+
+    POS_FILES = ("noun", "verb", "adj", "adv")
+
+    def __init__(self, wn_dir: str):
+        from collections import defaultdict
+        self.word2synsets: Dict[str, Set[Tuple[str, str]]] = \
+            defaultdict(set)
+        found = False
+        for pos in self.POS_FILES:
+            path = os.path.join(wn_dir, f"index.{pos}")
+            if not os.path.exists(path):
+                continue
+            found = True
+            with open(path, encoding="utf-8", errors="replace") as f:
+                for line in f:
+                    if line.startswith(" ") or not line.strip():
+                        continue  # license header lines start with spaces
+                    parts = line.split()
+                    try:
+                        synset_cnt = int(parts[2])
+                        p_cnt = int(parts[3])
+                    except (IndexError, ValueError):
+                        continue
+                    offsets = parts[4 + p_cnt + 2:4 + p_cnt + 2 + synset_cnt]
+                    self.word2synsets[parts[0]].update(
+                        (pos, o) for o in offsets)
+        if not found:
+            raise FileNotFoundError(f"no WordNet index files in {wn_dir}")
+        self.word2synsets = dict(self.word2synsets)
+
+    def are_synonyms(self, a: str, b: str) -> bool:
+        sa = self.word2synsets.get(a)
+        if not sa:
+            return False
+        sb = self.word2synsets.get(b)
+        return bool(sb) and not sa.isdisjoint(sb)
+
+
+def find_wordnet_dir() -> Optional[str]:
+    """ISC_WORDNET_DIR, else <any nltk_data path>/corpora/wordnet."""
+    cand = os.environ.get("ISC_WORDNET_DIR")
+    if cand and os.path.isdir(cand):
+        return cand
+    try:
+        import nltk.data
+        roots = list(nltk.data.path)
+    except Exception:  # pragma: no cover
+        roots = []
+    for root in roots:
+        d = os.path.join(root, "corpora", "wordnet")
+        if os.path.isfile(os.path.join(d, "index.noun")):
+            return d
+    return None
+
+
+def _align(hyp: Sequence[str], ref: Sequence[str],
+           hyp_stems: Sequence[str], ref_stems: Sequence[str],
+           wordnet: Optional[WordNetSynonyms]
+           ) -> List[Tuple[int, int, float]]:
+    """Greedy staged alignment (exact, then stems, then synonyms). Each
+    hyp/ref token is used at most once. Returns [(hyp_i, ref_j,
+    stage_weight)] sorted by hyp index."""
+    ref_used = [False] * len(ref)
+    hyp_matched: List[Optional[Tuple[int, float]]] = [None] * len(hyp)
+
+    def stage(match_fn, weight):
+        for i in range(len(hyp)):
             if hyp_matched[i] is not None:
                 continue
-            for j, rk in enumerate(rkeys):
-                if not ref_used[j] and rk == hk:
+            for j in range(len(ref)):
+                if not ref_used[j] and match_fn(i, j):
                     ref_used[j] = True
-                    hyp_matched[i] = j
-                    weighted += weight
+                    hyp_matched[i] = (j, weight)
                     break
 
-    stage(hyp, ref, W_EXACT)
-    stage(hyp_stems, ref_stems, W_STEM)
+    stage(lambda i, j: hyp[i] == ref[j], W_EXACT)
+    stage(lambda i, j: hyp_stems[i] == ref_stems[j], W_STEM)
+    if wordnet is not None:
+        stage(lambda i, j: wordnet.are_synonyms(hyp[i], ref[j]), W_SYN)
 
-    align = [(i, j) for i, j in enumerate(hyp_matched) if j is not None]
-    m = len(align)
-    if m == 0:
-        return 0, 0.0, 0
-    chunks = 1
-    for (i0, j0), (i1, j1) in zip(align, align[1:]):
-        if not (i1 == i0 + 1 and j1 == j0 + 1):
-            chunks += 1
-    return m, weighted, chunks
+    return [(i, jw[0], jw[1]) for i, jw in enumerate(hyp_matched)
+            if jw is not None]
 
 
-def score_sentence(hyp: Sequence[str], refs: List[Sequence[str]]) -> float:
+def _content_weight(w: str, function_words: Optional[Set[str]]) -> float:
+    if function_words is None:
+        return 1.0
+    return (1.0 - DELTA) if w in function_words else DELTA
+
+
+def score_sentence(hyp: Sequence[str], refs: List[Sequence[str]],
+                   wordnet: Optional[WordNetSynonyms] = None,
+                   function_words: Optional[Set[str]] = FUNCTION_WORDS
+                   ) -> float:
     hyp = list(hyp)
     hyp_stems = [_stem(w) for w in hyp]  # stem once, not per pair
+    hyp_wsum = sum(_content_weight(w, function_words) for w in hyp)
     best = 0.0
     for ref in refs:
         ref = list(ref)
         if not hyp or not ref:
             continue
-        m, mw, chunks = _align(hyp, ref, hyp_stems,
-                               [_stem(w) for w in ref])
+        align = _align(hyp, ref, hyp_stems, [_stem(w) for w in ref],
+                       wordnet)
+        m = len(align)
         if m == 0:
             continue
-        p = mw / len(hyp)
-        r = mw / len(ref)
+        # weighted P/R: stage weight x function-word discount
+        wp = sum(w * _content_weight(hyp[i], function_words)
+                 for i, _, w in align)
+        wr = sum(w * _content_weight(ref[j], function_words)
+                 for _, j, w in align)
+        ref_wsum = sum(_content_weight(w, function_words) for w in ref)
+        if hyp_wsum == 0 or ref_wsum == 0:
+            continue
+        p = wp / hyp_wsum
+        r = wr / ref_wsum
+        if p == 0 or r == 0:
+            continue
         fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+        chunks = 1
+        for (i0, j0, _), (i1, j1, _) in zip(align, align[1:]):
+            if not (i1 == i0 + 1 and j1 == j0 + 1):
+                chunks += 1
         penalty = GAMMA * (chunks / m) ** BETA
         best = max(best, fmean * (1.0 - penalty))
     return best
 
 
 class Meteor:
-    """coco-caption-shaped API: compute_score(gts, res) -> (mean, scores)."""
+    """coco-caption-shaped API: compute_score(gts, res) -> (mean, scores).
+
+    wordnet_dir: explicit WordNet db dir; by default auto-discovered via
+    find_wordnet_dir(). ``name`` is "METEOR" when the synonym stage is
+    active, "METEOR*" when degraded to exact+stem."""
+
+    def __init__(self, wordnet_dir: Optional[str] = None,
+                 function_words: Optional[Set[str]] = FUNCTION_WORDS):
+        d = wordnet_dir or find_wordnet_dir()
+        self.wordnet = WordNetSynonyms(d) if d else None
+        self.function_words = function_words
+
+    @property
+    def name(self) -> str:
+        return "METEOR" if self.wordnet is not None else "METEOR*"
 
     def compute_score(self, gts: Dict, res: List[Dict]):
         scores = [score_sentence(item["caption"][0],
-                                 gts[item["image_id"]]) for item in res]
+                                 gts[item["image_id"]],
+                                 wordnet=self.wordnet,
+                                 function_words=self.function_words)
+                  for item in res]
         mean = sum(scores) / max(len(scores), 1)
         return mean, scores

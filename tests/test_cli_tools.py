@@ -176,3 +176,66 @@ def test_meteor_lite():
     m, scores = Meteor().compute_score(
         {"i": [ref]}, [{"image_id": "i", "caption": [tuple(hyp)]}])
     assert 0 < m <= 1 and len(scores) == 1
+
+
+def test_meteor_function_word_discount():
+    """δ=0.75 content weighting (Meteor 1.5 'en'): missing a FUNCTION
+    word costs less than missing a CONTENT word."""
+    from insenticap_model_tpu.rewards.meteor import score_sentence
+    # structurally identical pairs (2 matches, 1 chunk, mismatch at
+    # position 0): one mismatches a FUNCTION word, one a CONTENT word
+    s_func = score_sentence("an dog runs".split(),
+                            ["the dog runs".split()])
+    s_content = score_sentence("cat dog runs".split(),
+                               ["fox dog runs".split()])
+    assert s_content < s_func
+    # with the discount disabled the asymmetry disappears
+    sf0 = score_sentence("an dog runs".split(), ["the dog runs".split()],
+                         function_words=None)
+    sc0 = score_sentence("cat dog runs".split(),
+                         ["fox dog runs".split()], function_words=None)
+    assert sf0 == pytest.approx(sc0)
+
+
+def test_meteor_synonym_stage(tmp_path):
+    """The WordNet synonym stage (w=0.8) matches words sharing a synset
+    offset, parsed from standard WNdb index files."""
+    from insenticap_model_tpu.rewards.meteor import (
+        Meteor, WordNetSynonyms, score_sentence)
+
+    wn = tmp_path / "wordnet"
+    wn.mkdir()
+    # minimal index.noun in the WNdb format:
+    #   lemma pos synset_cnt p_cnt [ptrs] sense_cnt tagsense_cnt offsets
+    (wn / "index.noun").write_text(
+        "  1 this software... license header\n"
+        "canine n 1 1 @ 1 0 02083346\n"
+        "dog n 2 2 @ ~ 2 1 02084071 02083346\n"
+        "cat n 1 1 @ 1 0 02121620\n")
+
+    syn = WordNetSynonyms(str(wn))
+    assert syn.are_synonyms("dog", "canine")
+    assert syn.are_synonyms("canine", "dog")
+    assert not syn.are_synonyms("dog", "cat")
+    assert not syn.are_synonyms("dog", "unknownword")
+
+    ref = "a canine runs".split()
+    hyp = "a dog runs".split()
+    base = score_sentence(hyp, [ref])                     # no wordnet
+    with_syn = score_sentence(hyp, [ref], wordnet=syn)
+    assert with_syn > base                                # synonym matched
+    exact = score_sentence(ref, [ref], wordnet=syn)
+    assert with_syn < exact                               # w=0.8 < 1.0
+
+    m = Meteor(wordnet_dir=str(wn))
+    assert m.name == "METEOR"
+    mean, _ = m.compute_score({"i": [ref]},
+                              [{"image_id": "i", "caption": [tuple(hyp)]}])
+    assert mean == pytest.approx(with_syn)
+
+
+def test_meteor_degrades_without_wordnet(monkeypatch):
+    from insenticap_model_tpu.rewards import meteor as M
+    monkeypatch.setattr(M, "find_wordnet_dir", lambda: None)
+    m = M.Meteor()
+    assert m.name == "METEOR*" and m.wordnet is None
