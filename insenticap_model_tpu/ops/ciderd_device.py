@@ -44,14 +44,24 @@ PROBE = 8  # linear-probe window for duplicate first keys
 
 
 class CiderTables(NamedTuple):
-    """Device-resident scorer state."""
+    """Device-resident scorer state. The per-reference n-gram statistics
+    (hashes, validity, vector norms, bigram counts) are PRECOMPUTED at
+    build time — references never change, and recomputing their stats
+    (incl. the df-table binary searches) inside every RL step was the
+    single largest stage of the train-step profile (5.1 ms standalone at
+    bs=40, more than either rollout — tools/profile_train.py, DESIGN.md
+    r3)."""
     df_h1: jnp.ndarray      # [D] uint32, sorted (primary key)
     df_h2: jnp.ndarray      # [D] uint32 (secondary key)
     df_val: jnp.ndarray     # [D] float32 document frequencies
     ref_len: jnp.ndarray    # scalar float32: log(#corpus images)
-    gts_ids: jnp.ndarray    # [num_images, R, T] int32 canonical ref ids
     gts_len: jnp.ndarray    # [num_images, R] int32 (0 = absent ref)
     gts_count: jnp.ndarray  # [num_images] int32 actual ref counts
+    ref_h1: jnp.ndarray     # [num_images, R, N, T] uint32 ngram hashes
+    ref_h2: jnp.ndarray     # [num_images, R, N, T] uint32
+    ref_valid: jnp.ndarray  # [num_images, R, N, T] bool
+    ref_norm: jnp.ndarray   # [num_images, R, N] float32 tf-idf norms
+    ref_blen: jnp.ndarray   # [num_images, R] float32 bigram counts
 
 
 def _host_hash_pair(ngram) -> tuple:
@@ -101,28 +111,86 @@ def build_tables(scorer: CiderD, gts: Dict[str, list], image_order: list,
     T = max_seq_len + 1
     R = max(len(caps) for caps in gts.values())
     n = len(image_order)
-    gts_ids = np.zeros((n, R, T), np.int32)
     gts_len = np.zeros((n, R), np.int32)
     gts_count = np.zeros((n,), np.int32)
-    # sentinel -1 for invalid positions: hashes of sentinels never match
-    gts_ids.fill(-1)
+    ref_h1 = np.zeros((n, R, NGRAM_N, T), np.uint32)
+    ref_h2 = np.zeros((n, R, NGRAM_N, T), np.uint32)
+    ref_valid = np.zeros((n, R, NGRAM_N, T), np.bool_)
+    ref_norm = np.zeros((n, R, NGRAM_N), np.float32)
+    ref_blen = np.zeros((n, R), np.float32)
+    log_ref_len = float(scorer.ref_len)
+    df_dict = scorer.document_frequency
     for row, fn in enumerate(image_order):
         caps = gts[fn]
         gts_count[row] = len(caps)
         for r, cap in enumerate(caps[:R]):
             seq = seq_from_ids(list(cap)[:max_seq_len + 1], sos, eos)
             L = min(len(seq), T)
-            gts_ids[row, r, :L] = seq[:L]
             gts_len[row, r] = L
+            h1, h2, valid, norm, blen = _host_ref_stats(
+                seq[:L], L, T, df_dict, log_ref_len)
+            ref_h1[row, r] = h1
+            ref_h2[row, r] = h2
+            ref_valid[row, r] = valid
+            ref_norm[row, r] = norm
+            ref_blen[row, r] = blen
 
     tables = CiderTables(
         df_h1=jnp.asarray(h1s), df_h2=jnp.asarray(h2s),
         df_val=jnp.asarray(dfs),
         ref_len=jnp.asarray(scorer.ref_len, jnp.float32),
-        gts_ids=jnp.asarray(gts_ids), gts_len=jnp.asarray(gts_len),
-        gts_count=jnp.asarray(gts_count))
+        gts_len=jnp.asarray(gts_len),
+        gts_count=jnp.asarray(gts_count),
+        ref_h1=jnp.asarray(ref_h1), ref_h2=jnp.asarray(ref_h2),
+        ref_valid=jnp.asarray(ref_valid),
+        ref_norm=jnp.asarray(ref_norm),
+        ref_blen=jnp.asarray(ref_blen))
     fn2row = {fn: i for i, fn in enumerate(image_order)}
     return tables, fn2row
+
+
+def _host_ref_stats(seq, L: int, T: int, df_dict, log_ref_len: float):
+    """Reference-side n-gram statistics, computed once on the host with
+    the SAME uint32 hash arithmetic and f32 norm accumulation order as
+    the device `_vec_stats` (position-major sum of squares per order) so
+    precomputed values match what the device used to compute."""
+    ids = np.full((T,), -1, np.int64)
+    ids[:L] = seq
+    tok = (ids + 1).astype(np.uint32)
+    pos = np.arange(T)
+    h1 = np.full((T,), S1, np.uint32)
+    h2 = np.full((T,), S2, np.uint32)
+    h1s, h2s, valids, norms = [], [], [], []
+    with np.errstate(over="ignore"):
+        for k in range(NGRAM_N):
+            shifted = np.roll(tok, -k)
+            h1 = (h1 ^ shifted) * M1
+            h2 = (h2 ^ shifted) * M2
+            h1s.append(h1.copy())
+            h2s.append(h2.copy())
+            valids.append(pos + k < L)
+    h1a, h2a = np.stack(h1s), np.stack(h2s)
+    valid = np.stack(valids)
+    # vectorized same-ngram matrix (the device _vec_stats math in numpy —
+    # per-ref Python loops would take hours over a real COCO corpus)
+    same = ((h1a[:, :, None] == h1a[:, None, :])
+            & (h2a[:, :, None] == h2a[:, None, :])
+            & valid[:, None, :] & valid[:, :, None])
+    tf = same.sum(-1).astype(np.float32)                # [N, T]
+    tri = np.tril(np.ones((T, T), np.bool_), -1)
+    first = valid & ~(same & tri[None]).any(-1)
+    for k in range(NGRAM_N):
+        w2_sum = np.float32(0.0)
+        for i in np.flatnonzero(first[k]):
+            gram = tuple(int(x) for x in ids[i:i + k + 1])
+            df = np.float32(df_dict.get(gram, 0.0))
+            idf = np.float32(log_ref_len) - np.float32(
+                np.log(max(np.float32(1.0), df)))
+            w = tf[k, i] * idf
+            w2_sum = np.float32(w2_sum + np.float32(w * w))
+        norms.append(np.sqrt(w2_sum))
+    blen = np.float32(valid[1].sum())
+    return h1a, h2a, valid, np.array(norms, np.float32), blen
 
 
 # ---------------------------------------------------------------------------
@@ -229,18 +297,25 @@ def cider_d(tables: CiderTables, hyp_ids, hyp_len, img_rows):
     """Score a batch of canonical hypothesis sequences against their images'
     references. hyp_ids [bs, T], hyp_len [bs], img_rows [bs] int32 indices
     into the gts tables. Returns scores [bs] (x10, mean over orders,
-    averaged over actual refs)."""
+    averaged over actual refs).
+
+    Only the HYPOTHESIS side computes statistics (df-table binary
+    searches included) — the reference side reads the precomputed
+    per-ref hashes/norms/blen from the tables (build_tables), which cut
+    the per-step cost ~2x at rl_bs=40 (DESIGN.md r3)."""
     def one(ids, L, row):
         hyp = _vec_stats(tables, ids, L)
-        refs_ids = tables.gts_ids[row]                  # [R, T]
-        refs_len = tables.gts_len[row]                  # [R]
 
-        def ref_score(rid, rl):
-            ref = _vec_stats(tables, rid, rl)
+        def ref_score(rh1, rh2, rvalid, rnorm, rblen, rl):
+            ref = {"h1": rh1, "h2": rh2, "valid": rvalid,
+                   "norm": rnorm, "blen": rblen}
             s = _sim(hyp, ref)                          # [N]
             return jnp.where(rl > 0, s.mean(), 0.0)
 
-        total = jax.vmap(ref_score)(refs_ids, refs_len).sum()
+        total = jax.vmap(ref_score)(
+            tables.ref_h1[row], tables.ref_h2[row], tables.ref_valid[row],
+            tables.ref_norm[row], tables.ref_blen[row],
+            tables.gts_len[row]).sum()
         return total / tables.gts_count[row].astype(jnp.float32) * 10.0
 
     return jax.vmap(one)(hyp_ids, hyp_len, img_rows)
