@@ -15,6 +15,19 @@ separate `vs_a100_estimate` field uses a ~25 captions/s extrapolation and
 is labeled as such.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Opt-in second mode (ISC_BENCH_CALIBRATED=1): the decode's early exit is
+batch-wide (all candidates ended), and with random weights one straggler
+always keeps the loop at all 16 steps, so the default figure excludes
+the early-exit win trained weights get. EOS-logit biasing cannot emulate
+the trained regime either — random-weight caption lengths are heavy-
+tailed, so no bias yields mean~10 AND max<=13 simultaneously (measured:
+bias for mean 7.4 leaves max at 16; bias for max 13 collapses mean to
+~1). The calibrated mode therefore reports the DECODE-LENGTH RESPONSE
+instead: throughput with the loop bounded at T=16/12/10/8 steps — what
+the batch-wide early exit delivers when every caption has ended by
+step T (decode_length_sweep, clearly labeled, next to the honest
+random-weight figure).
 """
 import json
 import os
@@ -109,7 +122,7 @@ def main():
     device_ms = (time.perf_counter() - t0) / n_amort * 1e3
 
     ref_cps, ref_src = _reference_cps()
-    print(json.dumps({
+    record = {
         "metric": "senticap_captions_per_sec_per_chip_beam3",
         "value": round(cps, 2),
         "unit": "captions/s",
@@ -120,7 +133,39 @@ def main():
         "device_decode_ms_bs1": round(device_ms, 2),
         "batch_size": bs,
         "backend": jax.default_backend(),
-    }))
+    }
+
+    if os.environ.get("ISC_BENCH_CALIBRATED") == "1":
+        record["decode_length_sweep"] = _decode_length_sweep(
+            params, fc, att, sentis, bs, iters)
+    print(json.dumps(record))
+
+
+def _decode_length_sweep(params, fc, att, sentis, bs, iters) -> dict:
+    """Throughput with the decode loop bounded at T steps, for
+    T in {16, 12, 10, 8}: exactly what the while_loop early exit
+    (the reference's all-ended beam break, captioner.py:382-388)
+    delivers when every caption of the batch has ended by step T. With
+    random weights no EOS bias reaches the trained length profile (see
+    module docstring), so the response curve is measured directly."""
+    settings = Settings()
+    out = {}
+    for T in (16, 12, 10, 8):
+        fn = inference.make_serving_fn(settings, IDS, beam_size=3,
+                                       max_seq_len=T)
+        np.asarray(fn(params, fc, att, sentis)[0])
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                seqs, _, _ = fn(params, fc, att, sentis)
+            np.asarray(seqs)
+            best = max(best, bs * iters / (time.perf_counter() - t0))
+        out[f"T{T}_captions_per_sec"] = round(best, 2)
+    out["note"] = ("serving throughput when all captions end by step T "
+                   "— the early-exit regime of trained weights (SentiCap "
+                   "captions average ~10 tokens)")
+    return out
 
 
 if __name__ == "__main__":
