@@ -291,3 +291,49 @@ def test_h_eval_senti(workdir, capsys):
     for line in out.splitlines():
         if "accuracy:" in line:
             assert 0.0 <= float(line.rsplit(":", 1)[1]) <= 1.0
+
+
+def test_i_reproduce_table_from_reference_pth(workdir, capsys):
+    """The reference-user switchover path end-to-end: build a REAL
+    reference Detector (imported from /root/reference), torch.save its
+    composite checkpoint in the reference's blob format
+    (train_rl.py:311-325), and run the reproduction harness on the raw
+    .pth — in-memory conversion, serving dump, metrics."""
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not available")
+    import sys
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import torch
+    from models.decoder import Detector
+    from insenticap_model_tpu.cli import reproduce_table
+
+    idx2word = json.load(open("data/captions/coco/part/idx2word.json"))
+    cats = ["positive", "negative", "neutral"]
+    s = _tiny_settings()
+    ref_settings = {
+        "word_emb_dim": s.word_emb_dim, "fc_feat_dim": s.fc_feat_dim,
+        "att_feat_dim": s.att_feat_dim, "feat_emb_dim": s.feat_emb_dim,
+        "dropout_p": 0.5, "rnn_hid_dim": s.rnn_hid_dim,
+        "att_hid_dim": s.att_hid_dim, "concept_mid_him": s.concept_mid_dim,
+        "sentiment_convs_num": 2, "sentiment_fcs_num": 2,
+    }
+    torch.manual_seed(3)
+    det = Detector(idx2word, 8, cats, {"cap_lr": 4e-4}, ref_settings)
+    torch.save({
+        "model": det.state_dict(), "settings": ref_settings,
+        "idx2word": idx2word, "sentiment_categories": cats,
+        "dataset_name": "coco", "corpus_type": "part",
+        "max_seq_len": 8, "epoch": 0,
+    }, "ref_detector.pth")
+
+    table = reproduce_table.reproduce(
+        _opts(rl_bs=6, beam_size=2,
+              img_senti_labels="data/captions/img_senti_labels.json"),
+        "ref_detector.pth", tag="refpth",
+        anno_file="data/captions/coco/anno_captions.json")
+    assert table["splits"]["fact"]["quality"], "no fact-split metrics"
+    assert glob.glob("result/rl/coco/part/result_refpth_*_fact.json")
+    out = capsys.readouterr().out
+    assert "§6 table [fact split]" in out
