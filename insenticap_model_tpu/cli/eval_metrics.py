@@ -40,7 +40,9 @@ def compute_metrics(result_prefix: str, data_type: str,
                 for fn, sents in json.load(f).items()}
 
     table: Dict[str, Dict[str, float]] = {}
-    meteor_col = "METEOR*"
+    # loop-invariant: constructing Meteor parses the WordNet index files
+    meteor = Meteor()
+    meteor_col = meteor.name
     for senti in SENTIS:
         path = f"{result_prefix}_{senti}_{data_type}.json"
         if not os.path.exists(path):
@@ -61,17 +63,15 @@ def compute_metrics(result_prefix: str, data_type: str,
         bleu, _ = Bleu(4).compute_score(gts, res)
         cider = CiderD(refs=list(gts.values()))
         c_score, _ = cider.compute_score(gts, res)
-        meteor = Meteor()
         m_score, _ = meteor.compute_score(gts, res)
         table[senti] = {
             "Bleu-1": bleu[0] * 100, "Bleu-2": bleu[1] * 100,
             "Bleu-3": bleu[2] * 100, "Bleu-4": bleu[3] * 100,
             # "METEOR" with WordNet data present (full Meteor 1.5 'en'
             # stages); "METEOR*" when degraded to exact+stem
-            meteor.name: m_score * 100,
+            meteor_col: m_score * 100,
             "CIDEr-D": c_score * 100, "n": len(res),
         }
-        meteor_col = meteor.name
 
     metrics = ["Bleu-1", "Bleu-2", "Bleu-3", "Bleu-4", meteor_col,
                "CIDEr-D"]

@@ -109,6 +109,10 @@ def reproduce(opt: Opts, rl_model: str, tag: str = "repro",
     label2idx = {w: i for i, w in enumerate(cats)}
 
     rt = common.Runtime(opt)
+    # multi-chip mesh: the serving fn below contains pallas custom calls
+    # GSPMD cannot partition over sharded operands — same guard the
+    # trainers apply before tracing their decode dumps
+    rt.disable_pallas_for_sharded_decode()
     params = rt.replicate(rt.cast(composite["captioner"]))
     senti_params = rt.replicate(rt.cast(composite["senti_detector"]))
 
@@ -161,19 +165,29 @@ def reproduce(opt: Opts, rl_model: str, tag: str = "repro",
     from .eval_metrics import compute_metrics
     from .eval_cls_rnn import compute_cls
     from .eval_ppl import LM_PATH, compute_ppl
+
+    # cls checkpoint source is loop-invariant; a metadata-poor .pth (bare
+    # state_dict) must degrade cls to null, not crash the harness
+    cls_dir = opt.checkpoint
+    try:
+        common.best_checkpoint(opt, "sent_senti_cls")
+    except FileNotFoundError:
+        try:
+            cls_dir = _materialize_cls_checkpoint(
+                opt, composite, meta,
+                os.path.join(result_dir, "_repro_ckpt"))
+        except KeyError as e:
+            print(f"====> cls unavailable: no ss-cls checkpoint and the "
+                  f"composite lacks metadata key {e}")
+            cls_dir = None
+
     for data_type in ("fact", "senti"):
         print(f"====> metrics [{data_type}]")
         quality = compute_metrics(prefix, data_type, anno_file)
 
-        cls_dir = opt.checkpoint
         try:
-            common.best_checkpoint(opt, "sent_senti_cls")
-        except FileNotFoundError:
-            cls_dir = _materialize_cls_checkpoint(
-                opt, composite, meta,
-                os.path.join(result_dir, "_repro_ckpt"))
-        try:
-            cls = compute_cls(prefix, data_type, cls_dir)
+            cls = None if cls_dir is None \
+                else compute_cls(prefix, data_type, cls_dir)
         except Exception as e:  # degraded but still reported
             print(f"====> cls skipped [{data_type}]: {e}")
             cls = None

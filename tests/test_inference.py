@@ -80,6 +80,22 @@ def test_sweep_sentiments(settings):
     assert not np.array_equal(sq[0], sq[1]) or not np.array_equal(
         sq[1], sq[2])
 
+    # exact parity with a standalone per-label decode: the fold-into-batch
+    # sweep must not couple rows (the docstring's equality claim)
+    from insenticap_model_tpu.models import captioner as cap
+    for lab in (0, 2):
+        ctx, _ = cap.build_visual_context(
+            p.captioner, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
+            True, senti_words=sentis[lab],
+            senti_labels=jnp.full((bs,), lab, jnp.int32), pad_id=IDS.pad)
+        from insenticap_model_tpu.ops import beam
+        s1, sc1 = beam.beam_search_batched(
+            p.captioner, ctx, settings=settings, ids=IDS, beam_size=2,
+            max_seq_len=T, mode="rl")
+        np.testing.assert_array_equal(sq[lab], np.asarray(s1))
+        np.testing.assert_allclose(np.asarray(scores[lab]),
+                                   np.asarray(sc1), rtol=1e-5)
+
 
 def test_beam_early_exit_matches_scan(settings):
     """early_exit while_loop and the scan path must be bit-identical, both

@@ -28,16 +28,26 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-PORT = 29547
 V, T, BS_LOCAL = 30, 8, 2     # per-process batch; global = BS_LOCAL * 2
 N_ITEMS = 12
 
 
-def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0):
+def _free_port() -> int:
+    """A currently-free TCP port for the jax.distributed coordinator — a
+    fixed port would collide when two runs overlap on one host (e.g. the
+    slow test tier plus a manual invocation)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
+         port: int = 0):
     import jax
     if distributed:
         jax.distributed.initialize(
-            coordinator_address=f"localhost:{PORT}",
+            coordinator_address=f"localhost:{port}",
             num_processes=nprocs, process_id=pid)
     import jax.numpy as jnp
     import numpy as np
@@ -155,8 +165,9 @@ def launch(tmpdir: str = "/tmp/isc_mp_check") -> dict:
     for p in (mp_out, sp_out):
         if os.path.exists(p):
             os.remove(p)
+    port = _free_port()
     workers = [subprocess.Popen(
-        [sys.executable, here, "worker", str(pid), mp_out],
+        [sys.executable, here, "worker", str(pid), mp_out, str(port)],
         env=env(1)) for pid in range(2)]
     single = subprocess.Popen([sys.executable, here, "single", sp_out],
                               env=env(2))
@@ -173,7 +184,8 @@ def launch(tmpdir: str = "/tmp/isc_mp_check") -> dict:
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "launch"
     if mode == "worker":
-        _run(2, sys.argv[3], distributed=True, pid=int(sys.argv[2]))
+        _run(2, sys.argv[3], distributed=True, pid=int(sys.argv[2]),
+             port=int(sys.argv[4]))
     elif mode == "single":
         _run(2, sys.argv[2], distributed=False)
     else:
