@@ -175,15 +175,33 @@ def forward(params, img, att_size: int = 14):
     return fc[0], att[0]
 
 
+def to_rgb_uint8(image: np.ndarray) -> np.ndarray:
+    """gray→RGB + alpha drop, staying uint8 (reference encoder.py:29-33).
+    The single mode-normalization helper shared by the host-float path
+    (preprocess below) and the raw-uint8 device path
+    (preprocessing.extract_imgs_feat bucket_mode='resize' +
+    forward_raw_batch, where /255+normalize happen on-device inside
+    conv1)."""
+    if image.ndim == 2:
+        image = np.stack([image] * 3, axis=-1)
+    if image.shape[-1] == 1:          # HxWx1 grayscale from other decoders
+        image = np.repeat(image, 3, axis=-1)
+    if image.shape[-1] == 4:
+        image = image[..., :3]
+    if image.ndim != 3 or image.shape[-1] != 3:
+        raise ValueError(
+            f"expected an HxW / HxWx{{1,3,4}} image, got shape "
+            f"{image.shape} — exotic PIL modes (palette, LA, CMYK) must "
+            f"be decoded via preprocessing.load_image, which converts "
+            f"them to RGB")
+    return np.ascontiguousarray(image)
+
+
 def preprocess(image: np.ndarray) -> np.ndarray:
     """gray->RGB, /255, ImageNet normalize (reference encoder.py:29-37).
     Input HxW or HxWx{3,4} uint8; output HxWx3 float32 (HWC — we keep the
     TPU-native channel-last layout instead of torch's CHW)."""
-    if image.ndim == 2:
-        image = np.stack([image] * 3, axis=-1)
-    if image.shape[-1] == 4:
-        image = image[..., :3]
-    x = image.astype(np.float32) / 255.0
+    x = to_rgb_uint8(image).astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 

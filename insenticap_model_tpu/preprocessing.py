@@ -49,23 +49,32 @@ def _load(*path_parts):
 
 def load_image(path: str) -> np.ndarray:
     """Decode to HWC uint8 RGB (reference uses skimage + alpha drop,
-    preprocess.py:37-39; gray→RGB happens in encoder.preprocess)."""
+    preprocess.py:37-39; gray→RGB happens in encoder.preprocess).
+
+    Non-直接 pixel modes (palette "P", "LA", CMYK, 16-bit ints, ...) are
+    converted to RGB by PIL first — skimage.io.imread does the same
+    conversion internally, and a bare np.asarray of a palette image
+    would otherwise yield the palette INDICES as a gray map (wrong
+    colors). "L" stays 2-D and "RGBA" keeps its alpha-drop here, both
+    matching the reference's arrays exactly."""
     from PIL import Image
-    img = np.asarray(Image.open(path))
-    if img.ndim == 3 and img.shape[-1] == 4:
-        img = img[:, :, :3]
-    return img
+    img = Image.open(path)
+    if img.mode not in ("RGB", "RGBA", "L"):
+        img = img.convert("RGB")
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[-1] == 4:
+        arr = arr[:, :, :3]
+    return arr
 
 
 def to_rgb_uint8(image: np.ndarray) -> np.ndarray:
     """gray→RGB + alpha drop, staying uint8 (the raw-batch device path
     does /255+normalize on-device inside conv1 — encoder.forward_raw_batch
-    — so the host never touches float pixels)."""
-    if image.ndim == 2:
-        image = np.stack([image] * 3, axis=-1)
-    if image.shape[-1] == 4:
-        image = image[..., :3]
-    return np.ascontiguousarray(image)
+    — so the host never touches float pixels). Canonical implementation
+    lives with the encoder so the exact and resize feature paths share
+    one mode-normalization."""
+    from .models.encoder import to_rgb_uint8 as impl
+    return impl(image)
 
 
 # Static shape ladder for bucket_mode="resize": 448x448 plus the two 3:4

@@ -224,3 +224,45 @@ def test_extract_imgs_feat_resize_mode(tmp_path):
         lambda p, x: enc.forward_raw_batch(p, x, 2))(params,
                                                      np.stack([raw, d]))
     np.testing.assert_array_equal(fc_a, np.asarray(fc_direct[0]))
+
+
+def test_load_image_exotic_modes(tmp_path):
+    """Decode-mode normalization: palette PNGs must decode to their RGB
+    colors (a bare np.asarray yields palette INDICES — the skimage path
+    the reference uses converts internally, preprocess.py:37-39), L stays
+    2-D, RGBA drops alpha, and HxWx1 arrays broadcast to 3 channels."""
+    from PIL import Image
+    from insenticap_model_tpu import preprocessing as pp
+
+    g = np.random.default_rng(0)
+    rgb = g.integers(0, 256, size=(10, 12, 3)).astype(np.uint8)
+
+    p_path = tmp_path / "p.png"
+    Image.fromarray(rgb).convert(
+        "P", palette=Image.ADAPTIVE, colors=16).save(p_path)
+    arr = pp.load_image(str(p_path))
+    assert arr.ndim == 3 and arr.shape == (10, 12, 3)
+    # colors, not palette indices: must match PIL's own RGB conversion
+    expect = np.asarray(Image.open(p_path).convert("RGB"))
+    np.testing.assert_array_equal(arr, expect)
+
+    l_path = tmp_path / "l.png"
+    Image.fromarray(rgb[..., 0], mode="L").save(l_path)
+    arr = pp.load_image(str(l_path))
+    assert arr.ndim == 2                      # reference keeps gray 2-D
+    assert pp.to_rgb_uint8(arr).shape == (10, 12, 3)
+
+    a_path = tmp_path / "a.png"
+    rgba = np.concatenate([rgb, rgb[..., :1]], axis=-1)
+    Image.fromarray(rgba, mode="RGBA").save(a_path)
+    np.testing.assert_array_equal(pp.load_image(str(a_path)), rgb)
+
+    cmyk_path = tmp_path / "c.jpg"
+    Image.fromarray(rgb).convert("CMYK").save(cmyk_path)
+    arr = pp.load_image(str(cmyk_path))
+    assert arr.shape == (10, 12, 3)           # converted, not CMY-sliced
+
+    np.testing.assert_array_equal(
+        pp.to_rgb_uint8(rgb[..., :1]), np.repeat(rgb[..., :1], 3, axis=-1))
+    with pytest.raises(ValueError):
+        pp.to_rgb_uint8(np.zeros((4, 4, 2), np.uint8))  # LA must not pass
