@@ -124,8 +124,10 @@ class Runtime:
     """Mesh + placement + dtype policy for a CLI run."""
 
     def __init__(self, opt: Opts):
+        global _ACTIVE_MESH
         self.opt = opt
         self.mesh = pmesh.make_mesh(opt.mesh_shape or None)
+        _ACTIVE_MESH = self.mesh  # host_shard()'s default mesh context
         self.model_sharded = False  # set by place_captioner
         self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" \
             else jnp.float32
@@ -238,12 +240,57 @@ class Runtime:
 # dataloader.py:275-370)
 # ---------------------------------------------------------------------------
 
-def host_shard():
-    """Disjoint item stripe per process for multi-host data parallelism
-    (None on a single host). Passed to every training Loader."""
+def host_shard(mesh=None):
+    """Item stripe for multi-host data parallelism (None on a single
+    host). Passed to every training Loader.
+
+    With a 1-D mesh (or no mesh context) this is the per-process stripe
+    (process_index, process_count). On a multi-axis mesh whose model/
+    other axes CROSS processes, striping by raw process index is wrong:
+    ``jax.make_array_from_process_local_data`` requires every process
+    holding a copy of a batch shard to supply the SAME rows, and a batch
+    is sharded over `data` only — so processes that share a data-axis
+    coordinate must load identical stripes. The stripe is therefore
+    derived from the mesh: processes with the same set of data-axis
+    coordinates get the same (group_rank, num_groups) stripe (their
+    loaders are seeded identically, so the stripes are bit-identical).
+
+    ``mesh`` defaults to the Runtime's mesh when a Runtime has been
+    constructed in this process (the CLI trainers' path)."""
     import jax
     n = jax.process_count()
-    return (jax.process_index(), n) if n > 1 else None
+    if n <= 1:
+        return None
+    if mesh is None:
+        mesh = _ACTIVE_MESH
+    if mesh is None or mesh.devices.ndim <= 1:
+        return (jax.process_index(), n)
+    axes = list(mesh.axis_names)
+    d_ax = axes.index("data") if "data" in axes else 0
+    # data-axis coordinate set per owning process, in mesh device order
+    by_proc: dict = {}
+    for idx in np.ndindex(mesh.devices.shape):
+        by_proc.setdefault(mesh.devices[idx].process_index,
+                           set()).add(idx[d_ax])
+    me = jax.process_index()
+    if me not in by_proc:
+        raise ValueError(f"process {me} owns no device of mesh "
+                         f"{dict(mesh.shape)}; it must not run loaders")
+    groups = {frozenset(v) for v in by_proc.values()}
+    mine = frozenset(by_proc[me])
+    for a in groups:
+        for b in groups:
+            if a != b and a & b:
+                raise ValueError(
+                    "unsupported mesh/process topology: processes "
+                    f"{sorted(by_proc)} have overlapping but unequal "
+                    "data-coordinate sets — a process cannot stripe for "
+                    "a partial data shard")
+    ordered = sorted(groups, key=min)
+    return (ordered.index(mine), len(ordered))
+
+
+_ACTIVE_MESH = None  # set by Runtime.__init__; host_shard's default
 
 
 def caption_loader(fc_store, att_store, captions_id, concepts_id, vocab,

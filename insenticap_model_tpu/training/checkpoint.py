@@ -10,8 +10,10 @@ first-class ``bootstrap`` helper here.
 
 Storage: flax.serialization msgpack for the array pytrees + a JSON metadata
 header, in one file:  [8-byte little-endian header length][JSON][msgpack].
-Single-host writes (params are replicated under pure data parallelism, so
-process 0's copy is authoritative).
+Process 0 writes; leaves sharded across processes (multi-host vocab-sharded
+params/moments) are assembled by a process allgather inside save(), so
+save() is a collective — every process calls it (proved end-to-end by the
+4-process run in tools/multiprocess_check.py).
 """
 from __future__ import annotations
 
@@ -33,13 +35,29 @@ class CheckpointError(RuntimeError):
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Fetch every leaf to host numpy. A leaf sharded across processes
+    (multi-host: data- or vocab-sharded params / optimizer moments) is
+    not fully addressable and a bare np.asarray would raise — those are
+    assembled with a process allgather first. COLLECTIVE under
+    multi-host: every process must call this (and therefore save())."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
 
 
 def save(path: str, params: Any, opt_state: Any, metadata: Dict) -> None:
+    """Multi-host: call from EVERY process (the host-gather of sharded
+    leaves is a collective); only process 0 writes the file."""
     payload = {"params": _to_host(params)}
     if opt_state is not None:
         payload["opt_state"] = _to_host(serialization.to_state_dict(opt_state))
+    if jax.process_index() != 0:
+        return
     blob = serialization.to_bytes(payload)
     header = json.dumps(metadata, sort_keys=True).encode()
     tmp = path + ".tmp"

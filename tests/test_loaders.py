@@ -92,3 +92,81 @@ def test_device_prefetch_preserves_order_and_count():
     assert len(out) == 4
     assert [int(b["x"][0]) for b in out] == [0, 3, 6, 9]
     assert len(staged) == 4
+
+
+# ---------------------------------------------------------------------------
+# host_shard(mesh): per-data-group striping on multi-axis meshes
+# (integration-proved by tests/test_multiprocess.py; these cover the
+# group derivation + error branches cheaply with fake process layouts)
+# ---------------------------------------------------------------------------
+
+class _FakeDev:
+    def __init__(self, process_index):
+        self.process_index = process_index
+
+
+class _FakeMesh:
+    """Duck-typed stand-in for jax.sharding.Mesh: only the attributes
+    host_shard() reads (devices / axis_names / shape)."""
+
+    def __init__(self, proc_grid, axis_names):
+        self.devices = np.array(
+            [[_FakeDev(p) for p in row] for row in proc_grid], dtype=object)
+        self.axis_names = tuple(axis_names)
+        self.shape = dict(zip(axis_names, self.devices.shape))
+
+
+def _host_shard_as(monkeypatch, pid, nprocs, mesh):
+    import jax
+    from insenticap_model_tpu.cli import common
+    monkeypatch.setattr(jax, "process_count", lambda: nprocs)
+    monkeypatch.setattr(jax, "process_index", lambda: pid)
+    return common.host_shard(mesh)
+
+
+def test_host_shard_groups_processes_sharing_data_coordinate(monkeypatch):
+    # (2, 2) data x model mesh, 4 processes, one device each laid out so
+    # processes {0,1} sit at data-coord 0 and {2,3} at data-coord 1:
+    # both members of a data group must load the SAME stripe.
+    mesh = _FakeMesh([[0, 1], [2, 3]], ("data", "model"))
+    stripes = [_host_shard_as(monkeypatch, p, 4, mesh) for p in range(4)]
+    assert stripes == [(0, 2), (0, 2), (1, 2), (1, 2)]
+
+
+def test_host_shard_full_data_axis_per_process_means_no_striping(
+        monkeypatch):
+    # 2 processes each owning a full model COLUMN (devices at every data
+    # coordinate): each must supply rows for every batch shard, so both
+    # get the whole dataset (one group).
+    mesh = _FakeMesh([[0, 1], [0, 1]], ("data", "model"))
+    for p in range(2):
+        assert _host_shard_as(monkeypatch, p, 2, mesh) == (0, 1)
+
+
+def test_host_shard_model_major_layout(monkeypatch):
+    # transposed ownership: processes {0,2} share data-coord 0 via the
+    # model axis being axis 0 of the grid
+    mesh = _FakeMesh([[0, 1], [2, 3]], ("model", "data"))
+    stripes = [_host_shard_as(monkeypatch, p, 4, mesh) for p in range(4)]
+    assert stripes == [(0, 2), (1, 2), (0, 2), (1, 2)]
+
+
+def test_host_shard_rejects_process_without_devices(monkeypatch):
+    mesh = _FakeMesh([[0, 0], [1, 1]], ("data", "model"))
+    with pytest.raises(ValueError, match="owns no device"):
+        _host_shard_as(monkeypatch, 2, 3, mesh)
+
+
+def test_host_shard_rejects_partial_data_shard_overlap(monkeypatch):
+    # process 1's data-coordinate set {0, 1} overlaps process 0's {0}
+    # without being equal — no consistent per-group stripe exists
+    mesh = _FakeMesh([[0, 1], [1, 1]], ("data", "model"))
+    with pytest.raises(ValueError, match="unsupported mesh"):
+        _host_shard_as(monkeypatch, 0, 2, mesh)
+
+
+def test_host_shard_single_process_is_none(monkeypatch):
+    import jax
+    from insenticap_model_tpu.cli import common
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    assert common.host_shard() is None

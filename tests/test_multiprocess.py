@@ -27,3 +27,31 @@ def test_two_process_xe_step_matches_single():
         assert abs(mp["losses"][k] - sp["losses"][k]) < 1e-5, (
             k, mp["losses"], sp["losses"])
     assert abs(mp["param_checksum"] - sp["param_checksum"]) < 1e-3
+
+
+def test_four_process_2x2_mesh_xe_step_matches_single():
+    """4 processes on a (2, 2) data x model mesh: the model axis CROSSES
+    process boundaries (vocab-sharded embedding/classifier collectives
+    ride the inter-process backend), and loader striping must be per
+    DATA GROUP, not per process — processes sharing a data coordinate
+    hold copies of the same batch shard and must supply identical rows
+    (host_shard(mesh)). A wrong stripe or collective layout fails."""
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "multiprocess_check.py")
+    spec = importlib.util.spec_from_file_location("mp_check_tp", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    res = mod.launch(tp=True)
+    mp, sp = res["multiprocess"], res["single"]
+    assert mp["process_count"] == 4
+    assert sp["process_count"] == 1
+    assert mp["mesh"] == [2, 2]
+    for k in ("all_loss", "xe_loss", "da_loss"):
+        assert abs(mp["losses"][k] - sp["losses"][k]) < 1e-5, (
+            k, mp["losses"], sp["losses"])
+    assert abs(mp["param_checksum"] - sp["param_checksum"]) < 1e-3
+    # the collective save (process-allgather of vocab-sharded leaves,
+    # p0 writes) must reload bit-identical on every process
+    assert mp["ckpt_roundtrip"] is True
+    assert sp["ckpt_roundtrip"] is True

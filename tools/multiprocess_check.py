@@ -43,7 +43,7 @@ def _free_port() -> int:
 
 
 def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
-         port: int = 0):
+         port: int = 0, mesh_shape=None):
     import jax
     if distributed:
         jax.distributed.initialize(
@@ -60,11 +60,14 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
     from insenticap_model_tpu.training import optim, steps
     from jax.sharding import PartitionSpec as P
 
-    assert jax.device_count() == 2, jax.devices()
+    n_dev = int(np.prod(mesh_shape)) if mesh_shape else 2
+    assert jax.device_count() == n_dev, jax.devices()
     settings = Settings(word_emb_dim=16, fc_feat_dim=32, att_feat_dim=32,
                         feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
                         concept_mid_dim=24)
-    mesh = pmesh.make_mesh()                      # (2,) data mesh
+    mesh = pmesh.make_mesh(mesh_shape)     # (2,) data / (2,2) data x model
+    n_data = int(mesh.shape.get("data", n_dev))
+    model_sharded = int(mesh.shape.get("model", 1)) > 1
     g = np.random.default_rng(0)
 
     # deterministic synthetic caption items; the batch dict matches the
@@ -105,26 +108,39 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
 
     data_sh = pmesh.batch_sharding(mesh)
     if distributed:
-        shard = common.host_shard()
-        assert shard == (pid, nprocs), shard      # the REAL striping path
+        shard = common.host_shard(mesh)           # the REAL striping path
+        # 1-D mesh: per-process stripe; (dp, model) mesh with the model
+        # axis crossing processes: per-DATA-GROUP stripe (processes in
+        # one data group hold copies of the same batch shard and must
+        # load identical rows)
+        expect = (pid, nprocs) if n_data == nprocs \
+            else (pid // (nprocs // n_data), n_data)
+        assert shard == expect, (shard, expect)
         local = stripe_batch(shard)
         batch = {k: jax.make_array_from_process_local_data(data_sh, v)
                  for k, v in local.items()}
     else:
         # same global batch: concat the stripes in device order
-        parts = [stripe_batch((i, nprocs)) for i in range(nprocs)]
+        parts = [stripe_batch((i, n_data)) for i in range(n_data)]
         batch = {k: jax.device_put(
             np.concatenate([p[k] for p in parts]), data_sh)
             for k in parts[0]}
 
-    params = pmesh.replicate(mesh, cap.init_params(
-        jax.random.PRNGKey(0), V, 3, settings))
+    cparams = cap.init_params(jax.random.PRNGKey(0), V, 3, settings)
+    if model_sharded:
+        # vocab-dim tensors shard over `model` — on the 4-process run the
+        # model axis CROSSES processes, so the embedding gather/classifier
+        # matmul collectives ride the inter-process (Gloo) backend
+        params = pmesh.place(cparams,
+                             pmesh.captioner_shardings(mesh, cparams))
+    else:
+        params = pmesh.replicate(mesh, cparams)
     cls_params = pmesh.replicate(mesh, ss_cls.init_params(
         jax.random.PRNGKey(1), V, 3, settings))
     tx = optim.make_optimizer(4e-4)
-    opt_state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, pmesh.replicated(mesh)),
-        tx.init(params))
+    # zeros_like inherits each param's placement -> moments shard like
+    # their params (replicated in the dp case, vocab-sharded under tp)
+    opt_state = tx.init(params)
 
     train_step, _ = steps.make_xe_steps(settings, tx)
     # no mesh context needed: shardings propagate from the committed
@@ -135,20 +151,56 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
 
     checksum = 0.0
     for leaf in jax.tree_util.tree_leaves(params):
+        # jnp.sum over a (possibly vocab-sharded) leaf yields a
+        # replicated scalar — safe to fetch from any process
         checksum += float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+
+    # checkpoint round-trip through the post-step (sharded) state: save()
+    # is a collective (process-allgather of non-addressable leaves, p0
+    # writes), then every process reloads and re-places — the reloaded
+    # params must be bit-identical to the in-memory ones
+    ckpt_roundtrip = None
+    if model_sharded:
+        from insenticap_model_tpu.training import checkpoint as ckpt
+        cpath = os.path.join(os.path.dirname(out_path),
+                             f"ckpt_{'mp' if distributed else 'sp'}.ckpt")
+        ckpt.save(cpath, params, opt_state, {"epoch": 1})
+        if distributed:
+            # all processes wait for p0's atomic rename
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_written")
+        host_params, _, _ = ckpt.load(cpath, cparams, None)
+        replaced = pmesh.place(host_params,
+                               pmesh.captioner_shardings(mesh, cparams))
+        ok = True
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(replaced)):
+            same = jnp.all(a == b)           # replicated scalar
+            ok = ok and bool(same)
+        ckpt_roundtrip = ok
+
     result = {"losses": {k: float(v) for k, v in losses.items()},
               "param_checksum": checksum,
-              "process_count": jax.process_count()}
+              "process_count": jax.process_count(),
+              "mesh": list(mesh.shape.values()),
+              "ckpt_roundtrip": ckpt_roundtrip}
     if (not distributed) or pid == 0:
         with open(out_path, "w") as f:
             json.dump(result, f)
         print("wrote", out_path, result, flush=True)
 
 
-def launch(tmpdir: str = "/tmp/isc_mp_check") -> dict:
-    """Spawn the 2-process run + the single-process run; return both
-    results. Each subprocess gets a scrubbed CPU env with ONE local
-    device (workers) / TWO virtual devices (single)."""
+def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False) -> dict:
+    """Spawn the multi-process run + the single-process control; return
+    both results. Each subprocess gets a scrubbed CPU env with ONE local
+    device (workers) / all-virtual devices (single).
+
+    tp=False: 2 processes, (2,) data mesh (replicated params, gradient
+    all-reduce across processes).
+    tp=True: 4 processes, (2, 2) data x model mesh — the model axis
+    CROSSES processes, exercising vocab-sharded embedding/classifier
+    collectives over the inter-process backend AND the per-data-group
+    loader striping (host_shard(mesh))."""
     os.makedirs(tmpdir, exist_ok=True)
     here = os.path.abspath(__file__)
     root = os.path.dirname(os.path.dirname(here))
@@ -160,17 +212,20 @@ def launch(tmpdir: str = "/tmp/isc_mp_check") -> dict:
         e["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
         return e
 
-    mp_out = os.path.join(tmpdir, "mp.json")
-    sp_out = os.path.join(tmpdir, "sp.json")
+    tag = "tp" if tp else "dp"
+    nprocs = 4 if tp else 2
+    mp_out = os.path.join(tmpdir, f"mp_{tag}.json")
+    sp_out = os.path.join(tmpdir, f"sp_{tag}.json")
     for p in (mp_out, sp_out):
         if os.path.exists(p):
             os.remove(p)
     port = _free_port()
     workers = [subprocess.Popen(
-        [sys.executable, here, "worker", str(pid), mp_out, str(port)],
-        env=env(1)) for pid in range(2)]
-    single = subprocess.Popen([sys.executable, here, "single", sp_out],
-                              env=env(2))
+        [sys.executable, here, "worker", str(pid), mp_out, str(port),
+         tag, str(nprocs)],
+        env=env(1)) for pid in range(nprocs)]
+    single = subprocess.Popen(
+        [sys.executable, here, "single", sp_out, tag], env=env(nprocs))
     for p in workers + [single]:
         rc = p.wait(timeout=600)
         assert rc == 0, f"subprocess failed rc={rc}"
@@ -181,23 +236,43 @@ def launch(tmpdir: str = "/tmp/isc_mp_check") -> dict:
     return {"multiprocess": mp, "single": sp}
 
 
+def _mesh_shape(tag: str, nprocs: int):
+    return (nprocs // 2, 2) if tag == "tp" else None
+
+
+def compare(res: dict, nprocs: int) -> None:
+    mp, sp = res["multiprocess"], res["single"]
+    assert mp["process_count"] == nprocs
+    for k in sp["losses"]:
+        d = abs(mp["losses"][k] - sp["losses"][k])
+        assert d < 1e-5, (k, mp["losses"][k], sp["losses"][k])
+    dc = abs(mp["param_checksum"] - sp["param_checksum"])
+    assert dc < 1e-3, (mp["param_checksum"], sp["param_checksum"])
+    if mp.get("ckpt_roundtrip") is not None:
+        assert mp["ckpt_roundtrip"] is True
+        assert sp["ckpt_roundtrip"] is True
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "launch"
     if mode == "worker":
-        _run(2, sys.argv[3], distributed=True, pid=int(sys.argv[2]),
-             port=int(sys.argv[4]))
+        tag = sys.argv[5] if len(sys.argv) > 5 else "dp"
+        nprocs = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+        _run(nprocs, sys.argv[3], distributed=True, pid=int(sys.argv[2]),
+             port=int(sys.argv[4]), mesh_shape=_mesh_shape(tag, nprocs))
     elif mode == "single":
-        _run(2, sys.argv[2], distributed=False)
+        tag = sys.argv[3] if len(sys.argv) > 3 else "dp"
+        nprocs = 4 if tag == "tp" else 2
+        _run(nprocs, sys.argv[2], distributed=False,
+             mesh_shape=_mesh_shape(tag, nprocs))
     else:
         res = launch()
-        mp, sp = res["multiprocess"], res["single"]
-        assert mp["process_count"] == 2
-        for k in sp["losses"]:
-            d = abs(mp["losses"][k] - sp["losses"][k])
-            assert d < 1e-5, (k, mp["losses"][k], sp["losses"][k])
-        dc = abs(mp["param_checksum"] - sp["param_checksum"])
-        assert dc < 1e-3, (mp["param_checksum"], sp["param_checksum"])
+        compare(res, 2)
         print("OK: 2-process striped XE step == single-process", res)
+        res = launch(tp=True)
+        compare(res, 4)
+        print("OK: 4-process (2,2) data x model XE step == single-process",
+              res)
 
 
 if __name__ == "__main__":
