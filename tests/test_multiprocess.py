@@ -27,6 +27,10 @@ def test_two_process_xe_step_matches_single():
         assert abs(mp["losses"][k] - sp["losses"][k]) < 1e-5, (
             k, mp["losses"], sp["losses"])
     assert abs(mp["param_checksum"] - sp["param_checksum"]) < 1e-3
+    # serving leg: the shard_map data-parallel beam decode across the
+    # 2-process mesh must be token-exact vs single-process
+    assert mp["serve"]["tokens"] == sp["serve"]["tokens"]
+    assert mp["serve"]["labels"] == sp["serve"]["labels"]
 
 
 def test_four_process_2x2_mesh_xe_step_matches_single():

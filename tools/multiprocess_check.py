@@ -15,9 +15,16 @@ This script executes one:
   * single mode — the same global batch on one process with 2 virtual
     CPU devices and the same mesh shape.
 
-Process-0 and the single run each write {losses, param_checksum} JSON;
-identical results prove the striping + collective layout. Driven by
-tests/test_multiprocess.py (slow tier), runnable by hand:
+The dp leg additionally runs the SERVING path across the processes:
+`inference.make_sharded_serving_fn` (shard_map beam decode — the real
+multi-chip serving path) on the same globally-sharded batch, asserting
+token-exact output vs single-process. The tp leg (4 processes, (2,2)
+data x model mesh) adds vocab-sharded collectives crossing process
+boundaries plus a collective checkpoint save/reload round-trip.
+
+Process-0 and the single run each write {losses, param_checksum, serve}
+JSON; identical results prove the striping + collective layout. Driven
+by tests/test_multiprocess.py (slow tier), runnable by hand:
 
     python tools/multiprocess_check.py launch
 """
@@ -179,11 +186,45 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
             ok = ok and bool(same)
         ckpt_roundtrip = ok
 
+    # multi-process SERVING (dp leg): the shard_map data-parallel beam
+    # decode (inference.make_sharded_serving_fn — the real multi-chip
+    # serving path, pallas kernels legal per-device) over the same
+    # globally-sharded batch; detected sentiment + beam tokens must be
+    # EXACT across process boundaries. Uses the batch's cpts column as
+    # sentiment-word ids (already a consistent data-sharded int array).
+    serve = None
+    if not model_sharded:
+        from insenticap_model_tpu import inference
+        from insenticap_model_tpu.models import sentiment_detector as sd
+        ids = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
+        # fresh init — cparams' buffers were DONATED through the train
+        # step (replicate() aliases same-sharding leaves), so reusing
+        # them here would hit deleted arrays
+        sparams = pmesh.replicate(mesh, inference.ServingParams(
+            captioner=cap.init_params(jax.random.PRNGKey(0), V, 3,
+                                      settings),
+            senti_detector=sd.init_params(jax.random.PRNGKey(2), 3,
+                                          settings)))
+        serve_fn = inference.make_sharded_serving_fn(
+            mesh, settings, ids, beam_size=3, max_seq_len=T)
+        seqs, scores, labels = serve_fn(sparams, batch["fc"], batch["att"],
+                                        batch["cpts"])
+        if distributed:
+            from jax.experimental import multihost_utils
+            seqs = multihost_utils.process_allgather(seqs, tiled=True)
+            scores = multihost_utils.process_allgather(scores, tiled=True)
+            labels = multihost_utils.process_allgather(labels, tiled=True)
+        serve = {"tokens": np.asarray(seqs).astype(int).tolist(),
+                 "labels": np.asarray(labels).astype(int).tolist(),
+                 "score_sum": float(np.asarray(scores,
+                                               np.float64).sum())}
+
     result = {"losses": {k: float(v) for k, v in losses.items()},
               "param_checksum": checksum,
               "process_count": jax.process_count(),
               "mesh": list(mesh.shape.values()),
-              "ckpt_roundtrip": ckpt_roundtrip}
+              "ckpt_roundtrip": ckpt_roundtrip,
+              "serve": serve}
     if (not distributed) or pid == 0:
         with open(out_path, "w") as f:
             json.dump(result, f)
@@ -251,6 +292,11 @@ def compare(res: dict, nprocs: int) -> None:
     if mp.get("ckpt_roundtrip") is not None:
         assert mp["ckpt_roundtrip"] is True
         assert sp["ckpt_roundtrip"] is True
+    if mp.get("serve") is not None:
+        assert mp["serve"]["tokens"] == sp["serve"]["tokens"]
+        assert mp["serve"]["labels"] == sp["serve"]["labels"]
+        assert abs(mp["serve"]["score_sum"] - sp["serve"]["score_sum"]) \
+            < 1e-4
 
 
 def main():

@@ -158,6 +158,19 @@ def main():
         return st
     print(f"beam select x16:        {bench(scan_select, state0):.2f} ms")
 
+    # controllable-sentiment sweep (BASELINE config 2): every image under
+    # all 3 labels in ONE fused trace (label axis folded into batch).
+    # bs//3 images so total decode rows match the main serving number.
+    bs_sw = max(bs // 3, 1)
+    sweep_fn = jax.jit(lambda p, fc, att, sbl: inference.sweep_sentiments(
+        p, fc, att, sbl, settings=s, ids=IDS, num_labels=3, beam_size=B,
+        max_seq_len=T))
+    sbl = jnp.asarray(g.integers(4, V, size=(3, bs_sw, M)), jnp.int32)
+    t_sw = bench(lambda: sweep_fn(params, fc[:bs_sw], att[:bs_sw], sbl))
+    print(f"3-label sweep (bs={bs_sw}): {t_sw:.2f} ms -> "
+          f"{3 * bs_sw / t_sw * 1e3:.0f} captions/s "
+          f"({bs_sw} images x 3 labels, one trace)")
+
 
 if __name__ == "__main__":
     main()
