@@ -40,13 +40,15 @@ def compute_metrics(result_prefix: str, data_type: str,
                 for fn, sents in json.load(f).items()}
 
     table: Dict[str, Dict[str, float]] = {}
-    # loop-invariant: constructing Meteor parses the WordNet index files
-    meteor = Meteor()
-    meteor_col = meteor.name
+    # loop-invariant but lazily built: constructing Meteor parses the
+    # WordNet index files, pointless when no result file exists
+    meteor = None
     for senti in SENTIS:
         path = f"{result_prefix}_{senti}_{data_type}.json"
         if not os.path.exists(path):
             continue
+        if meteor is None:
+            meteor = Meteor()
         with open(path) as f:
             results = json.load(f)
         gts: Dict[str, List[tuple]] = {}
@@ -69,10 +71,11 @@ def compute_metrics(result_prefix: str, data_type: str,
             "Bleu-3": bleu[2] * 100, "Bleu-4": bleu[3] * 100,
             # "METEOR" with WordNet data present (full Meteor 1.5 'en'
             # stages); "METEOR*" when degraded to exact+stem
-            meteor_col: m_score * 100,
+            meteor.name: m_score * 100,
             "CIDEr-D": c_score * 100, "n": len(res),
         }
 
+    meteor_col = meteor.name if meteor is not None else "METEOR"
     metrics = ["Bleu-1", "Bleu-2", "Bleu-3", "Bleu-4", meteor_col,
                "CIDEr-D"]
     header = "Metric    " + "".join(f"{s:>12}" for s in table)

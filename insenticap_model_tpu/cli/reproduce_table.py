@@ -172,14 +172,20 @@ def reproduce(opt: Opts, rl_model: str, tag: str = "repro",
     try:
         common.best_checkpoint(opt, "sent_senti_cls")
     except FileNotFoundError:
-        try:
+        # probe the requirements explicitly so a real bug inside the
+        # materialization is never misreported as "metadata missing"
+        needed = [k for k in ("settings", "idx2word",
+                              "sentiment_categories") if k not in meta]
+        if "sent_senti_cls" not in composite:
+            needed.append("sent_senti_cls (composite)")
+        if needed:
+            print(f"====> cls unavailable: no ss-cls checkpoint and the "
+                  f"composite lacks {needed}")
+            cls_dir = None
+        else:
             cls_dir = _materialize_cls_checkpoint(
                 opt, composite, meta,
                 os.path.join(result_dir, "_repro_ckpt"))
-        except KeyError as e:
-            print(f"====> cls unavailable: no ss-cls checkpoint and the "
-                  f"composite lacks metadata key {e}")
-            cls_dir = None
 
     for data_type in ("fact", "senti"):
         print(f"====> metrics [{data_type}]")

@@ -82,13 +82,12 @@ def test_sweep_sentiments(settings):
 
     # exact parity with a standalone per-label decode: the fold-into-batch
     # sweep must not couple rows (the docstring's equality claim)
-    from insenticap_model_tpu.models import captioner as cap
+    from insenticap_model_tpu.ops import beam
     for lab in (0, 2):
         ctx, _ = cap.build_visual_context(
             p.captioner, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
             True, senti_words=sentis[lab],
             senti_labels=jnp.full((bs,), lab, jnp.int32), pad_id=IDS.pad)
-        from insenticap_model_tpu.ops import beam
         s1, sc1 = beam.beam_search_batched(
             p.captioner, ctx, settings=settings, ids=IDS, beam_size=2,
             max_seq_len=T, mode="rl")

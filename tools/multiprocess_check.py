@@ -53,6 +53,7 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
          port: int = 0, mesh_shape=None):
     import jax
     if distributed:
+        assert port > 0, "distributed mode needs an explicit coordinator port"
         jax.distributed.initialize(
             coordinator_address=f"localhost:{port}",
             num_processes=nprocs, process_id=pid)
@@ -257,19 +258,29 @@ def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False) -> dict:
     nprocs = 4 if tp else 2
     mp_out = os.path.join(tmpdir, f"mp_{tag}.json")
     sp_out = os.path.join(tmpdir, f"sp_{tag}.json")
-    for p in (mp_out, sp_out):
-        if os.path.exists(p):
-            os.remove(p)
-    port = _free_port()
-    workers = [subprocess.Popen(
-        [sys.executable, here, "worker", str(pid), mp_out, str(port),
-         tag, str(nprocs)],
-        env=env(1)) for pid in range(nprocs)]
-    single = subprocess.Popen(
-        [sys.executable, here, "single", sp_out, tag], env=env(nprocs))
-    for p in workers + [single]:
-        rc = p.wait(timeout=600)
-        assert rc == 0, f"subprocess failed rc={rc}"
+
+    def one_attempt():
+        for p in (mp_out, sp_out):
+            if os.path.exists(p):
+                os.remove(p)
+        # _free_port() only probes: the port is released before the
+        # coordinator binds it, so a concurrent run can steal it in the
+        # spawn window — that race surfaces as a failed worker and is
+        # retried below with a fresh port
+        port = _free_port()
+        workers = [subprocess.Popen(
+            [sys.executable, here, "worker", str(pid), mp_out, str(port),
+             tag, str(nprocs)],
+            env=env(1)) for pid in range(nprocs)]
+        single = subprocess.Popen(
+            [sys.executable, here, "single", sp_out, tag], env=env(nprocs))
+        rcs = [p.wait(timeout=600) for p in workers + [single]]
+        assert all(rc == 0 for rc in rcs), f"subprocess failed rcs={rcs}"
+
+    try:
+        one_attempt()
+    except AssertionError:
+        one_attempt()          # once more on a fresh coordinator port
     with open(mp_out) as f:
         mp = json.load(f)
     with open(sp_out) as f:
