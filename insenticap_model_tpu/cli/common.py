@@ -255,8 +255,11 @@ def host_shard(mesh=None):
     coordinates get the same (group_rank, num_groups) stripe (their
     loaders are seeded identically, so the stripes are bit-identical).
 
-    ``mesh`` defaults to the Runtime's mesh when a Runtime has been
-    constructed in this process (the CLI trainers' path)."""
+    ``mesh`` defaults to the most recently constructed Runtime's mesh
+    (the CLI trainers' path — exactly one Runtime per process). A
+    process juggling several Runtimes with different meshes must pass
+    ``mesh`` explicitly; the module-level default is last-writer-wins
+    and only consulted when jax.process_count() > 1."""
     import jax
     n = jax.process_count()
     if n <= 1:
@@ -287,6 +290,19 @@ def host_shard(mesh=None):
                     "data-coordinate sets — a process cannot stripe for "
                     "a partial data shard")
     ordered = sorted(groups, key=min)
+    # stripe r of the dataset lands on data-axis block r (the loaders'
+    # global-batch convention), so each group must own one contiguous
+    # equal-size block in rank order — a permuted or unequal layout
+    # would silently map stripes onto the WRONG global rows
+    sizes = {len(g) for g in ordered}
+    flat = [c for g in ordered for c in sorted(g)]
+    if len(sizes) != 1 or flat != list(range(len(flat))):
+        raise ValueError(
+            "unsupported mesh/process topology: data-coordinate groups "
+            f"{[sorted(g) for g in ordered]} are not equal contiguous "
+            "blocks of the data axis — host striping cannot express "
+            "this device->process layout; reorder the mesh devices so "
+            "each process group owns one contiguous data block")
     return (ordered.index(mine), len(ordered))
 
 

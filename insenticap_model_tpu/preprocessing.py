@@ -51,7 +51,7 @@ def load_image(path: str) -> np.ndarray:
     """Decode to HWC uint8 RGB (reference uses skimage + alpha drop,
     preprocess.py:37-39; gray→RGB happens in encoder.preprocess).
 
-    Non-直接 pixel modes (palette "P", "LA", CMYK, 16-bit ints, ...) are
+    Non-direct pixel modes (palette "P", "LA", CMYK, 16-bit ints, ...) are
     converted to RGB by PIL first — skimage.io.imread does the same
     conversion internally, and a bare np.asarray of a palette image
     would otherwise yield the palette INDICES as a gray map (wrong

@@ -170,3 +170,21 @@ def test_host_shard_single_process_is_none(monkeypatch):
     from insenticap_model_tpu.cli import common
     monkeypatch.setattr(jax, "process_count", lambda: 1)
     assert common.host_shard() is None
+
+
+def test_host_shard_rejects_permuted_data_blocks(monkeypatch):
+    # groups {0,2} and {1,3}: disjoint and equal-size, but stripe r would
+    # land on non-contiguous global row blocks — must raise, not
+    # silently permute rows
+    mesh = _FakeMesh([[0, 0], [1, 1], [0, 0], [1, 1]], ("data", "model"))
+    with pytest.raises(ValueError, match="contiguous"):
+        _host_shard_as(monkeypatch, 0, 2, mesh)
+
+
+def test_host_shard_rejects_unequal_group_sizes(monkeypatch):
+    # groups {0} and {1,2}: disjoint but unequal — the equal-stripe
+    # loaders cannot express it; must fail here with a clear error
+    # rather than later inside make_array_from_process_local_data
+    mesh = _FakeMesh([[0, 0], [1, 1], [1, 1]], ("data", "model"))
+    with pytest.raises(ValueError, match="equal contiguous"):
+        _host_shard_as(monkeypatch, 0, 2, mesh)

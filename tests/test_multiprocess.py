@@ -1,9 +1,12 @@
-"""Real multi-process data parallelism (VERDICT r2 missing #4): two OS
+"""Real multi-process data parallelism (VERDICT r2 missing #4): OS
 processes jax.distributed-initialize into a CPU cluster (Gloo), stripe
-the dataset through the REAL Loader(shard=host_shard()) path, and run one
-jitted XE train step over a global 2-device mesh — asserted equal to the
-same global batch on a single process. A striping or collective-layout
-mismatch fails this test. See tools/multiprocess_check.py."""
+the dataset through the REAL Loader(shard=host_shard(mesh)) path, and run
+one jitted XE train step over a global device mesh — asserted equal to
+the same global batch on a single process. A striping or
+collective-layout mismatch fails these tests. Shared assertions
+(losses/checksum/serving tokens/ckpt round-trip) live in
+tools/multiprocess_check.compare so the manual tool run and this tier
+enforce one contract. See tools/multiprocess_check.py."""
 import importlib.util
 import os
 
@@ -12,50 +15,40 @@ import pytest
 pytestmark = pytest.mark.slow  # excluded from the fast gate
 
 
-def test_two_process_xe_step_matches_single():
+def _load_tool(name):
     path = os.path.join(os.path.dirname(__file__), "..", "tools",
                         "multiprocess_check.py")
-    spec = importlib.util.spec_from_file_location("mp_check", path)
+    spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
 
+
+def test_two_process_xe_step_matches_single():
+    """2 processes on a (2,) data mesh: replicated params, cross-process
+    gradient all-reduce, plus the shard_map SERVING path (token-exact
+    beam decode across the process boundary)."""
+    mod = _load_tool("mp_check")
     res = mod.launch()
+    mod.compare(res, 2)
     mp, sp = res["multiprocess"], res["single"]
-    assert mp["process_count"] == 2
     assert sp["process_count"] == 1
-    for k in ("all_loss", "xe_loss", "da_loss"):
-        assert abs(mp["losses"][k] - sp["losses"][k]) < 1e-5, (
-            k, mp["losses"], sp["losses"])
-    assert abs(mp["param_checksum"] - sp["param_checksum"]) < 1e-3
-    # serving leg: the shard_map data-parallel beam decode across the
-    # 2-process mesh must be token-exact vs single-process
-    assert mp["serve"]["tokens"] == sp["serve"]["tokens"]
-    assert mp["serve"]["labels"] == sp["serve"]["labels"]
+    assert mp["mesh"] == [2]
+    assert mp["serve"] is not None      # serving leg actually ran
 
 
 def test_four_process_2x2_mesh_xe_step_matches_single():
     """4 processes on a (2, 2) data x model mesh: the model axis CROSSES
     process boundaries (vocab-sharded embedding/classifier collectives
-    ride the inter-process backend), and loader striping must be per
-    DATA GROUP, not per process — processes sharing a data coordinate
-    hold copies of the same batch shard and must supply identical rows
-    (host_shard(mesh)). A wrong stripe or collective layout fails."""
-    path = os.path.join(os.path.dirname(__file__), "..", "tools",
-                        "multiprocess_check.py")
-    spec = importlib.util.spec_from_file_location("mp_check_tp", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-
+    ride the inter-process backend), loader striping is per DATA GROUP
+    (processes sharing a data coordinate hold copies of the same batch
+    shard and must supply identical rows — host_shard(mesh)), and the
+    collective checkpoint save/reload of the sharded state round-trips
+    bit-identically. A wrong stripe or collective layout fails."""
+    mod = _load_tool("mp_check_tp")
     res = mod.launch(tp=True)
+    mod.compare(res, 4)
     mp, sp = res["multiprocess"], res["single"]
-    assert mp["process_count"] == 4
     assert sp["process_count"] == 1
     assert mp["mesh"] == [2, 2]
-    for k in ("all_loss", "xe_loss", "da_loss"):
-        assert abs(mp["losses"][k] - sp["losses"][k]) < 1e-5, (
-            k, mp["losses"], sp["losses"])
-    assert abs(mp["param_checksum"] - sp["param_checksum"]) < 1e-3
-    # the collective save (process-allgather of vocab-sharded leaves,
-    # p0 writes) must reload bit-identical on every process
-    assert mp["ckpt_roundtrip"] is True
-    assert sp["ckpt_roundtrip"] is True
+    assert mp["ckpt_roundtrip"] is True  # collective save actually ran

@@ -8,7 +8,7 @@ does the int8 VMEM load dequantize cheaply" before any integration.
 Methodology per CLAUDE.md: ops timed inside one jitted lax.scan to
 amortize the ~1.3 ms/call tunnel dispatch floor; sync on a scalar.
 
-    python tools/bench_int8.py [detector|attention]
+    python tools/bench_int8.py [detector|stack|attention|both]
 """
 import functools
 import sys
@@ -357,6 +357,10 @@ def attention():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which not in ("detector", "stack", "attention", "both"):
+        raise SystemExit(
+            f"unknown mode {which!r}: "
+            "usage: bench_int8.py [detector|stack|attention|both]")
     if which in ("detector", "both"):
         detector()
     if which in ("stack", "both"):

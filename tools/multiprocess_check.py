@@ -265,21 +265,29 @@ def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False) -> dict:
                 os.remove(p)
         # _free_port() only probes: the port is released before the
         # coordinator binds it, so a concurrent run can steal it in the
-        # spawn window — that race surfaces as a failed worker and is
+        # spawn window — that race surfaces as a failed worker (or a
+        # hang in jax.distributed.initialize -> wait timeout) and is
         # retried below with a fresh port
         port = _free_port()
-        workers = [subprocess.Popen(
+        procs = [subprocess.Popen(
             [sys.executable, here, "worker", str(pid), mp_out, str(port),
              tag, str(nprocs)],
             env=env(1)) for pid in range(nprocs)]
-        single = subprocess.Popen(
-            [sys.executable, here, "single", sp_out, tag], env=env(nprocs))
-        rcs = [p.wait(timeout=600) for p in workers + [single]]
+        procs.append(subprocess.Popen(
+            [sys.executable, here, "single", sp_out, tag],
+            env=env(nprocs)))
+        try:
+            rcs = [p.wait(timeout=600) for p in procs]
+        finally:
+            for p in procs:        # reap stragglers on failure/timeout
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         assert all(rc == 0 for rc in rcs), f"subprocess failed rcs={rcs}"
 
     try:
         one_attempt()
-    except AssertionError:
+    except (AssertionError, subprocess.TimeoutExpired):
         one_attempt()          # once more on a fresh coordinator port
     with open(mp_out) as f:
         mp = json.load(f)
