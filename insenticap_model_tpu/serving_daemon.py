@@ -1,0 +1,284 @@
+"""Dynamic-batching serving daemon: concurrent requests ride the batched
+beam-search hot path at full utilization.
+
+The reference has no serving layer — its decode path runs one image at a
+time inside train_rl's test loop (``Detector.sample``,
+/root/reference/models/decoder.py:182-192, driven per image at
+/root/reference/train_rl.py:271-279). This module adds the production
+composition for the TPU build:
+
+* Requests (features + sentiment-word ids + auto/forced label) queue up
+  and a single dispatch thread coalesces them into batches.
+* Batches are padded up a fixed BUCKET LADDER of static shapes, so XLA
+  compiles O(#buckets) programs once, never per request count (the same
+  static-shape discipline as ``preprocessing``'s feature buckets).
+  Padding rows repeat a live row; per-row independence of the batched
+  beam search (proved by tests/test_inference.py::test_sweep_sentiments)
+  makes padding free of cross-row effects.
+* Sentiment is resolved ROW-WISE: the image sentiment detector runs on
+  the whole batch, then forced rows override the detected label, and one
+  forced-label decode program serves the mixed batch. This splits the
+  single fused detect+decode program into two dispatches (~1.3 ms/batch
+  on the tunnel, CLAUDE.md) in exchange for per-request sentiment
+  control in mixed batches.
+
+Latency/throughput trade is explicit: ``max_wait_s`` bounds the time the
+first request in a batch waits for co-riders; a full largest-bucket
+batch dispatches immediately.
+
+Thread model: any number of producer threads call ``submit``; exactly
+one daemon thread touches JAX. ``close()`` drains and joins.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import inference
+from .models import captioner as cap
+from .models import sentiment_detector as senti_det
+
+AUTO = -1  # submit(forced_label=AUTO) -> use the image sentiment detector
+
+
+class _Request:
+    __slots__ = ("fc", "att", "sentis", "forced_label", "done", "result",
+                 "error")
+
+    def __init__(self, fc, att, sentis, forced_label):
+        self.fc = fc
+        self.att = att
+        self.sentis = sentis
+        self.forced_label = forced_label
+        self.done = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Coalesce feature-level caption requests into static-shape batches.
+
+    Parameters
+    ----------
+    cap_params / senti_params : captioner + sentiment-detector params
+        (the composite RL checkpoint's serving halves).
+    settings, ids : architecture settings + TokenIds.
+    bucket_sizes : ascending static batch shapes; the largest is the
+        dispatch cap. One XLA compile per bucket per program.
+    max_wait_s : how long the OLDEST queued request may wait for
+        co-riders before a partial batch dispatches.
+    senti_threshold : detector confidence below which auto rows fall
+        back to neutral (reference decoder.py:41's 0.7).
+    """
+
+    def __init__(self, cap_params, senti_params, *, settings, ids,
+                 beam_size: int = 3, max_seq_len: int = 16,
+                 bucket_sizes: Sequence[int] = (1, 8, 32, 128, 384),
+                 max_wait_s: float = 0.005,
+                 senti_threshold: float = inference.SENTI_THRESHOLD,
+                 num_sentiments: int = 10, att_hw: Tuple[int, int] = (14, 14),
+                 num_cats: int = 3, max_queue: int = 4096):
+        if list(bucket_sizes) != sorted(set(bucket_sizes)):
+            raise ValueError(f"bucket_sizes must be ascending/unique: "
+                             f"{bucket_sizes}")
+        self._ids = ids
+        # every program shape is static: per-row feature shapes are fixed
+        # at construction and enforced in submit() — a drifting shape
+        # would otherwise trigger a silent multi-minute recompile
+        self._fc_shape = (settings.fc_feat_dim,)
+        self._att_shape = tuple(att_hw) + (settings.att_feat_dim,)
+        self._m = int(num_sentiments)
+        self._num_cats = int(num_cats)
+        self._buckets = tuple(int(b) for b in bucket_sizes)
+        self._max_wait_s = float(max_wait_s)
+        self._cap_params = cap_params
+        self._detect = jax.jit(
+            lambda p, att: senti_det.sample(p, att, senti_threshold,
+                                            ids.neutral)[0])
+        self._senti_params = senti_params
+        self._serve = inference.make_forced_serving_fn(
+            settings, ids, beam_size, max_seq_len)
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(max_queue)
+        self._closed = False
+        self._stats = {"requests": 0, "batches": 0,
+                       "by_bucket": {b: 0 for b in self._buckets},
+                       "padded_rows": 0}
+        self._stats_lock = threading.Lock()
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="isc-serve-batcher")
+        self._worker.start()
+
+    # -- public API -------------------------------------------------------
+
+    def submit(self, fc, att, sentis, forced_label: int = AUTO,
+               timeout: Optional[float] = None):
+        """Caption one image. Blocks until its batch completes.
+
+        fc [Ff] float, att [14, 14, Fa] float, sentis [M] int32 ranked
+        sentiment-word ids (PAD-padded), forced_label AUTO or a
+        sentiment index. Returns (seqs [beam, T] int32 desc-sorted,
+        scores [beam] f32, label int).
+        """
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        fc = np.asarray(fc)
+        att = np.asarray(att)
+        sentis = np.asarray(sentis, np.int32)
+        if (fc.shape != self._fc_shape or att.shape != self._att_shape
+                or sentis.shape != (self._m,)):
+            raise ValueError(
+                f"request shapes {fc.shape}/{att.shape}/{sentis.shape} != "
+                f"expected {self._fc_shape}/{self._att_shape}/"
+                f"({self._m},) — the ladder's programs are static-shaped")
+        if forced_label != AUTO and not 0 <= forced_label < self._num_cats:
+            raise ValueError(f"forced_label {forced_label} not in "
+                             f"[0, {self._num_cats}) or AUTO")
+        r = _Request(fc, att, sentis, int(forced_label))
+        self._q.put(r)
+        if not r.done.wait(timeout):
+            raise TimeoutError("serving request timed out")
+        if r.error is not None:
+            raise r.error
+        return r.result
+
+    def stats(self) -> Dict:
+        with self._stats_lock:
+            return {"requests": self._stats["requests"],
+                    "batches": self._stats["batches"],
+                    "by_bucket": dict(self._stats["by_bucket"]),
+                    "padded_rows": self._stats["padded_rows"]}
+
+    def close(self) -> None:
+        """Drain queued requests, stop the dispatch thread."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)          # sentinel after any queued work
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- dispatch thread --------------------------------------------------
+
+    def _collect(self) -> Optional[List[_Request]]:
+        """Block for the first request, then coalesce co-riders until the
+        largest bucket fills or the oldest request has waited max_wait_s."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        cap_n = self._buckets[-1]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(batch) < cap_n:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                r = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if r is None:          # close(): serve what we have, then stop
+                self._q.put(None)
+                break
+            batch.append(r)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                self._dispatch(batch)
+            except BaseException as e:  # deliver, don't kill the thread
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+
+    def _dispatch(self, batch: List[_Request]) -> None:
+        n = len(batch)
+        bucket = next(b for b in self._buckets if b >= n) \
+            if n <= self._buckets[-1] else self._buckets[-1]
+        pad = bucket - n
+        rows = batch + [batch[-1]] * pad      # repeat a live row
+        fc = jnp.asarray(np.stack([r.fc for r in rows]))
+        att = jnp.asarray(np.stack([r.att for r in rows]))
+        sentis = jnp.asarray(np.stack([r.sentis for r in rows]))
+
+        forced = np.asarray([r.forced_label for r in rows], np.int32)
+        if (forced == AUTO).any():
+            labels = np.asarray(self._detect(self._senti_params, att))
+        else:
+            labels = np.zeros((bucket,), np.int32)
+        labels = np.where(forced == AUTO, labels, forced).astype(np.int32)
+
+        seqs, scores = self._serve(self._cap_params, fc, att, sentis,
+                                   jnp.asarray(labels))
+        seqs = np.asarray(seqs)
+        scores = np.asarray(scores, np.float32)
+        for i, r in enumerate(batch):
+            r.result = (seqs[i], scores[i], int(labels[i]))
+            r.done.set()
+        with self._stats_lock:
+            self._stats["requests"] += n
+            self._stats["batches"] += 1
+            self._stats["by_bucket"][bucket] += 1
+            self._stats["padded_rows"] += pad
+
+    # -- warmup -----------------------------------------------------------
+
+    def warm(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the detector + decode programs for the given
+        buckets (default: all) with zero inputs, so first real requests
+        don't pay the multi-minute XLA compile (CLAUDE.md). Call from
+        the serving thread's startup, before accepting traffic."""
+        for b in (buckets or self._buckets):
+            fcz = jnp.zeros((b,) + self._fc_shape, jnp.float32)
+            attz = jnp.zeros((b,) + self._att_shape, jnp.float32)
+            sz = jnp.full((b, self._m), self._ids.pad, jnp.int32)
+            self._detect(self._senti_params, attz)
+            out = self._serve(self._cap_params, fcz, attz, sz,
+                              jnp.zeros((b,), jnp.int32))
+            np.asarray(out[0])    # force-complete (tunnel sync rule)
+
+
+def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
+                                 max_seq_len: int = 16,
+                                 bucket_sizes=(1, 8, 32, 128, 384),
+                                 max_wait_s: float = 0.005):
+    """Build a DynamicBatcher (plus vocab/cats) from a composite RL
+    checkpoint — the serving bootstrap path (mirrors cli/caption.py's
+    load of the reference's train_rl.py:311-325 composite)."""
+    from .config import Settings
+    from .training import checkpoint as ckpt
+    from .vocab import Vocab
+    from .cli import common
+
+    meta = ckpt.load_metadata(rl_model)
+    settings = Settings.from_dict(meta["settings"])
+    vocab = Vocab(meta["idx2word"])
+    cats = meta["sentiment_categories"]
+    template = {
+        "captioner": cap.init_params(jax.random.PRNGKey(0), len(vocab),
+                                     len(cats), settings),
+        "senti_detector": senti_det.init_params(jax.random.PRNGKey(1),
+                                                len(cats), settings),
+    }
+    loaded, _, _ = ckpt.load(rl_model, template)
+    ids = common.token_ids(vocab, cats)
+    b = DynamicBatcher(loaded["captioner"], loaded["senti_detector"],
+                       settings=settings, ids=ids, beam_size=beam_size,
+                       max_seq_len=max_seq_len, bucket_sizes=bucket_sizes,
+                       max_wait_s=max_wait_s, num_cats=len(cats))
+    return b, vocab, cats, settings

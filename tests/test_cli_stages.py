@@ -337,3 +337,91 @@ def test_i_reproduce_table_from_reference_pth(workdir, capsys):
     assert glob.glob("result/rl/coco/part/result_refpth_*_fact.json")
     out = capsys.readouterr().out
     assert "§6 table [fact split]" in out
+
+
+def test_j_serve_daemon_http(workdir):
+    """The dynamic-batching HTTP daemon (cli/serve.py) end-to-end on the
+    synthetic tree: real socket, concurrent feature-mode requests (one
+    auto-detected, one forced sentiment) coalescing in the batcher, plus
+    stats/health endpoints and a 400 on malformed input."""
+    import http.client
+    import socket
+    import threading
+
+    import jax
+    import numpy as np
+
+    from insenticap_model_tpu.cli import serve as serve_cli
+
+    # noun -> [senti_word, score] table (reference preprocess.py:200-213
+    # schema); the fixture's concepts are WORDS[:8]
+    with open("data/corpus/part/sentiment_detector.json", "w") as f:
+        json.dump({w: [["happy", 1.0], ["sad", 0.5]] for w in CONCEPTS}, f)
+
+    rl_ck = "checkpoint/rl/coco/part/model_0.ckpt"
+    cpt_ck = sorted(glob.glob("checkpoint/concept/coco/model_*.ckpt"))[-1]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    a = serve_cli.build_parser().parse_args([
+        "--rl_model", rl_ck, "--concept_model", cpt_ck,
+        "--sentiment_detector_json",
+        "data/corpus/part/sentiment_detector.json",
+        "--port", str(port), "--bucket_sizes", "[2,4]",
+        "--max_wait_ms", "250", "--beam_size", "2", "--max_seq_len", "8",
+        "--num_concepts", "3"])
+    srv = serve_cli.make_server(a)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = srv.app.settings
+        g = np.random.default_rng(7)
+
+        def post(payload):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            c.request("POST", "/caption", json.dumps(payload),
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            body = json.loads(r.read())
+            c.close()
+            return r.status, body
+
+        def req(sentiment):
+            return {"fc": g.normal(size=(s.fc_feat_dim,)).tolist(),
+                    "att": g.normal(
+                        size=(14, 14, s.att_feat_dim)).tolist(),
+                    "sentiment": sentiment}
+
+        out = [None, None]
+        payloads = [req("auto"), req("positive")]
+        ts = [threading.Thread(
+            target=lambda i=i: out.__setitem__(i, post(payloads[i])))
+            for i in range(2)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        for status, body in out:
+            assert status == 200, body
+            assert body["caption"] and isinstance(body["caption"], str)
+            assert body["concepts"]
+        assert out[1][1]["sentiment"] == "positive"   # forced row-wise
+        assert out[0][1]["sentiment"] in ("positive", "negative",
+                                          "neutral")
+
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.request("GET", "/healthz")
+        assert json.loads(c.getresponse().read()) == {"ok": True}
+        c.request("GET", "/stats")
+        stats = json.loads(c.getresponse().read())
+        c.close()
+        assert stats["requests"] == 2
+        assert stats["batches"] >= 1
+
+        status, body = post({"att": [[0.0]]})        # malformed: no fc
+        assert status == 400 and "error" in body
+    finally:
+        srv.shutdown()
+        srv.app.close()
+        srv.server_close()
+        t.join(timeout=30)

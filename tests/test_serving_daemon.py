@@ -1,0 +1,199 @@
+"""Dynamic-batching serving daemon: coalescing, bucket padding, row-wise
+auto/forced sentiment, error delivery, shutdown. Correctness baseline is
+the direct (unbatched) serving programs — padding/coalescing must be
+invisible in the outputs (per-row independence of the batched beam
+search, proved independently by test_inference's sweep parity)."""
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from insenticap_model_tpu import inference, serving_daemon
+from insenticap_model_tpu.config import Settings
+from insenticap_model_tpu.models import captioner as cap
+from insenticap_model_tpu.models import sentiment_detector as senti_det
+from insenticap_model_tpu.serving_daemon import AUTO, DynamicBatcher
+
+V, M, T = 40, 6, 8
+IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
+
+
+@pytest.fixture(scope="module")
+def settings():
+    return Settings(word_emb_dim=16, fc_feat_dim=24, att_feat_dim=24,
+                    feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
+                    concept_mid_dim=24)
+
+
+@pytest.fixture(scope="module")
+def params(settings):
+    return (cap.init_params(jax.random.PRNGKey(0), V, 3, settings),
+            senti_det.init_params(jax.random.PRNGKey(1), 3, settings))
+
+
+def _reqs(settings, n, seed=0):
+    g = np.random.default_rng(seed)
+    return [(g.normal(size=(settings.fc_feat_dim,)).astype(np.float32),
+             g.normal(size=(7, 7, settings.att_feat_dim)).astype(
+                 np.float32),
+             g.integers(4, V, size=(M,)).astype(np.int32))
+            for _ in range(n)]
+
+
+def _batcher(params, settings, **kw):
+    cp, sp = params
+    kw.setdefault("bucket_sizes", (2, 4, 8))
+    kw.setdefault("max_wait_s", 0.25)
+    return DynamicBatcher(cp, sp, settings=settings, ids=IDS, beam_size=2,
+                          max_seq_len=T, num_sentiments=M, att_hw=(7, 7),
+                          **kw)
+
+
+def _direct(params, settings, reqs, labels):
+    """Unbatched ground truth: one forced-decode call per request."""
+    cp, _ = params
+    fn = inference.make_forced_serving_fn(settings, IDS, 2, T)
+    out = []
+    for (fc, att, sentis), lab in zip(reqs, labels):
+        seqs, scores = fn(cp, fc[None], att[None], sentis[None],
+                          jnp.full((1,), lab, jnp.int32))
+        out.append((np.asarray(seqs)[0], np.asarray(scores)[0]))
+    return out
+
+
+def test_concurrent_requests_coalesce_and_match_direct(params, settings):
+    reqs = _reqs(settings, 8)
+    labels = [i % 3 for i in range(8)]
+    want = _direct(params, settings, reqs, labels)
+
+    with _batcher(params, settings) as b:
+        results = [None] * 8
+
+        def worker(i):
+            fc, att, sentis = reqs[i]
+            results[i] = b.submit(fc, att, sentis, forced_label=labels[i],
+                                  timeout=300)
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        st = b.stats()
+
+    assert st["requests"] == 8
+    # coalescing happened: strictly fewer dispatches than requests (the
+    # generous max_wait_s lets co-riders pile up even on a 1-CPU host)
+    assert st["batches"] < 8
+    for i in range(8):
+        seqs, scores, lab = results[i]
+        assert lab == labels[i]
+        np.testing.assert_array_equal(seqs, want[i][0])
+        np.testing.assert_allclose(scores, want[i][1], rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_partial_batch_pads_up_bucket_without_output_effect(params,
+                                                            settings):
+    reqs = _reqs(settings, 3, seed=1)
+    want = _direct(params, settings, reqs, [0, 1, 2])
+    with _batcher(params, settings) as b:
+        results = [None] * 3
+
+        def worker(i):
+            fc, att, sentis = reqs[i]
+            results[i] = b.submit(fc, att, sentis, forced_label=i,
+                                  timeout=300)
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        st = b.stats()
+
+    # 3 requests can only ride 4- or 8-buckets (or split across several
+    # dispatches); padded rows are recorded and results are exact
+    assert st["padded_rows"] >= 1
+    for i in range(3):
+        np.testing.assert_array_equal(results[i][0], want[i][0])
+
+
+def test_auto_rows_use_detector_and_mix_with_forced(params, settings):
+    cp, sp = params
+    reqs = _reqs(settings, 2, seed=2)
+    att_all = np.stack([r[1] for r in reqs])
+    det = np.asarray(senti_det.sample(
+        sp, jnp.asarray(att_all), inference.SENTI_THRESHOLD,
+        IDS.neutral)[0])
+    want = _direct(params, settings, reqs, [int(det[0]), 1])
+
+    with _batcher(params, settings) as b:
+        results = [None] * 2
+
+        def worker(i, forced):
+            fc, att, sentis = reqs[i]
+            results[i] = b.submit(fc, att, sentis, forced_label=forced,
+                                  timeout=300)
+
+        ts = [threading.Thread(target=worker, args=(0, AUTO)),
+              threading.Thread(target=worker, args=(1, 1))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+    assert results[0][2] == int(det[0])      # detector's label
+    assert results[1][2] == 1                # forced wins row-wise
+    np.testing.assert_array_equal(results[0][0], want[0][0])
+    np.testing.assert_array_equal(results[1][0], want[1][0])
+
+
+def test_submit_validates_shapes_and_labels(params, settings):
+    with _batcher(params, settings) as b:
+        fc, att, sentis = _reqs(settings, 1)[0]
+        with pytest.raises(ValueError, match="static-shaped"):
+            b.submit(fc[:-1], att, sentis)
+        with pytest.raises(ValueError, match="static-shaped"):
+            b.submit(fc, att, np.zeros((M + 1,), np.int32))
+        with pytest.raises(ValueError, match="forced_label"):
+            b.submit(fc, att, sentis, forced_label=7)
+
+
+def test_dispatch_errors_are_delivered_not_fatal(params, settings):
+    cp, sp = params
+    b = _batcher(params, settings)
+    try:
+        # poison the serve fn AFTER construction: the dispatch thread
+        # must deliver the exception to the waiter and keep running
+        ok_req = _reqs(settings, 1)[0]
+        b._serve = None  # type: ignore[assignment]
+        with pytest.raises(TypeError):
+            b.submit(*ok_req, forced_label=0, timeout=300)
+        b._serve = inference.make_forced_serving_fn(settings, IDS, 2, T)
+        seqs, scores, lab = b.submit(*ok_req, forced_label=0, timeout=300)
+        assert seqs.shape == (2, T)
+    finally:
+        b.close()
+
+
+def test_close_drains_then_rejects(params, settings):
+    b = _batcher(params, settings)
+    fc, att, sentis = _reqs(settings, 1)[0]
+    r = b.submit(fc, att, sentis, forced_label=0, timeout=300)
+    assert r[0].shape == (2, T)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(fc, att, sentis)
+    b.close()      # idempotent
+
+
+def test_warm_compiles_every_bucket(params, settings):
+    with _batcher(params, settings, bucket_sizes=(2, 4)) as b:
+        b.warm()   # would raise on any shape mismatch in the ladder
+        fc, att, sentis = _reqs(settings, 1)[0]
+        seqs, _, _ = b.submit(fc, att, sentis, forced_label=0, timeout=300)
+        assert seqs.shape == (2, T)
