@@ -64,6 +64,10 @@ def build_parser():
     p.add_argument("--num_sentiments", type=int, default=10)
     p.add_argument("--bucket_sizes", type=str, default="[1,8,32,128,384]")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = the measured TPU serving policy; "
+                        "also halves request host->device bytes")
     p.add_argument("--warm", action="store_true",
                    help="pre-compile every bucket before accepting "
                         "traffic (first full-size TPU compile is "
@@ -81,7 +85,8 @@ class ServeApp:
                 a.rl_model, beam_size=a.beam_size,
                 max_seq_len=a.max_seq_len,
                 bucket_sizes=tuple(json.loads(a.bucket_sizes)),
-                max_wait_s=a.max_wait_ms / 1e3)
+                max_wait_s=a.max_wait_ms / 1e3,
+                compute_dtype=a.compute_dtype)
         self.batcher = batcher
         self.vocab = vocab
         self.cats = list(cats)

@@ -26,8 +26,12 @@ Latency/throughput trade is explicit: ``max_wait_s`` bounds the time the
 first request in a batch waits for co-riders; a full largest-bucket
 batch dispatches immediately.
 
-Thread model: any number of producer threads call ``submit``; exactly
-one daemon thread touches JAX. ``close()`` drains and joins.
+Thread model: any number of producer threads call ``submit``; a
+dispatch thread stacks/ships/launches (JAX dispatch is asynchronous, so
+launched arrays are futures) and a completion thread materializes
+results and fans them out — batch N+1 ships while batch N's results
+drain back (double buffering, bounded at 2 batches in flight).
+``close()`` drains and joins both.
 """
 from __future__ import annotations
 
@@ -83,11 +87,26 @@ class DynamicBatcher:
                  max_wait_s: float = 0.005,
                  senti_threshold: float = inference.SENTI_THRESHOLD,
                  num_sentiments: int = 10, att_hw: Tuple[int, int] = (14, 14),
-                 num_cats: int = 3, max_queue: int = 4096):
+                 num_cats: int = 3, compute_dtype: str = "float32",
+                 max_queue: int = 4096):
         if list(bucket_sizes) != sorted(set(bucket_sizes)):
             raise ValueError(f"bucket_sizes must be ascending/unique: "
                              f"{bucket_sizes}")
         self._ids = ids
+        # bf16 is the measured TPU serving policy (CLAUDE.md / bench.py):
+        # params cast once here, features cast HOST-side per batch — that
+        # also halves host->device bytes, the dominant cost on slow links
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype {compute_dtype!r}")
+        self._feat_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
+            else jnp.float32
+        if compute_dtype == "bfloat16":
+            castf = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                t)
+            cap_params = castf(cap_params)
+            senti_params = castf(senti_params)
         # every program shape is static: per-row feature shapes are fixed
         # at construction and enforced in submit() — a drifting shape
         # would otherwise trigger a silent multi-minute recompile
@@ -105,6 +124,10 @@ class DynamicBatcher:
         self._serve = inference.make_forced_serving_fn(
             settings, ids, beam_size, max_seq_len)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(max_queue)
+        # dispatched-but-unmaterialized batches; bound = 2 batches in
+        # flight (double buffering: ship batch N+1 while N's results
+        # drain back), blocking the dispatch thread beyond that
+        self._fq: "queue.Queue" = queue.Queue(2)
         self._closed = False
         self._stats = {"requests": 0, "batches": 0,
                        "by_bucket": {b: 0 for b in self._buckets},
@@ -112,7 +135,11 @@ class DynamicBatcher:
         self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="isc-serve-batcher")
+        self._finisher = threading.Thread(target=self._finish_loop,
+                                          daemon=True,
+                                          name="isc-serve-finisher")
         self._worker.start()
+        self._finisher.start()
 
     # -- public API -------------------------------------------------------
 
@@ -155,12 +182,13 @@ class DynamicBatcher:
                     "padded_rows": self._stats["padded_rows"]}
 
     def close(self) -> None:
-        """Drain queued requests, stop the dispatch thread."""
+        """Drain queued requests, stop both stage threads."""
         if self._closed:
             return
         self._closed = True
         self._q.put(None)          # sentinel after any queued work
-        self._worker.join()
+        self._worker.join()        # dispatch forwards a sentinel on exit
+        self._finisher.join()
 
     def __enter__(self):
         return self
@@ -198,6 +226,7 @@ class DynamicBatcher:
         while True:
             batch = self._collect()
             if batch is None:
+                self._fq.put(None)            # forward shutdown downstream
                 return
             try:
                 self._dispatch(batch)
@@ -207,34 +236,63 @@ class DynamicBatcher:
                     r.done.set()
 
     def _dispatch(self, batch: List[_Request]) -> None:
+        """Stage 1: stack, ship, launch the device programs. JAX dispatch
+        is asynchronous, so the returned arrays are futures — they go to
+        the completion thread, which materializes and fans out while THIS
+        thread collects and ships the next batch (host/device pipelining;
+        _fq's bound gives backpressure at 2 batches in flight). Labels
+        stay ON DEVICE: forced rows merge with detected rows via a
+        device-side where, avoiding a detect->host->serve round-trip."""
         n = len(batch)
         bucket = next(b for b in self._buckets if b >= n) \
             if n <= self._buckets[-1] else self._buckets[-1]
         pad = bucket - n
         rows = batch + [batch[-1]] * pad      # repeat a live row
-        fc = jnp.asarray(np.stack([r.fc for r in rows]))
-        att = jnp.asarray(np.stack([r.att for r in rows]))
+        # host-side dtype cast BEFORE shipping (bf16 halves link bytes)
+        fc = jnp.asarray(np.stack([r.fc for r in rows])
+                         .astype(self._feat_dtype))
+        att = jnp.asarray(np.stack([r.att for r in rows])
+                          .astype(self._feat_dtype))
         sentis = jnp.asarray(np.stack([r.sentis for r in rows]))
 
         forced = np.asarray([r.forced_label for r in rows], np.int32)
         if (forced == AUTO).any():
-            labels = np.asarray(self._detect(self._senti_params, att))
+            detected = self._detect(self._senti_params, att)
+            labels = jnp.where(jnp.asarray(forced) == AUTO, detected,
+                               jnp.asarray(forced))
         else:
-            labels = np.zeros((bucket,), np.int32)
-        labels = np.where(forced == AUTO, labels, forced).astype(np.int32)
+            labels = jnp.asarray(forced)
 
         seqs, scores = self._serve(self._cap_params, fc, att, sentis,
-                                   jnp.asarray(labels))
-        seqs = np.asarray(seqs)
-        scores = np.asarray(scores, np.float32)
-        for i, r in enumerate(batch):
-            r.result = (seqs[i], scores[i], int(labels[i]))
-            r.done.set()
-        with self._stats_lock:
-            self._stats["requests"] += n
-            self._stats["batches"] += 1
-            self._stats["by_bucket"][bucket] += 1
-            self._stats["padded_rows"] += pad
+                                   labels)
+        self._fq.put((batch, bucket, pad, seqs, scores, labels))
+
+    def _finish_loop(self) -> None:
+        """Stage 2: materialize device outputs, fan results out."""
+        while True:
+            item = self._fq.get()
+            if item is None:
+                return
+            batch, bucket, pad, seqs, scores, labels = item
+            try:
+                seqs = np.asarray(seqs)
+                scores = np.asarray(scores, np.float32)
+                labels = np.asarray(labels)
+            except BaseException as e:   # runtime device errors land here
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+                continue
+            # stats BEFORE done-events: a caller returning from submit()
+            # must already see its request counted
+            with self._stats_lock:
+                self._stats["requests"] += len(batch)
+                self._stats["batches"] += 1
+                self._stats["by_bucket"][bucket] += 1
+                self._stats["padded_rows"] += pad
+            for i, r in enumerate(batch):
+                r.result = (seqs[i], scores[i], int(labels[i]))
+                r.done.set()
 
     # -- warmup -----------------------------------------------------------
 
@@ -244,8 +302,8 @@ class DynamicBatcher:
         don't pay the multi-minute XLA compile (CLAUDE.md). Call from
         the serving thread's startup, before accepting traffic."""
         for b in (buckets or self._buckets):
-            fcz = jnp.zeros((b,) + self._fc_shape, jnp.float32)
-            attz = jnp.zeros((b,) + self._att_shape, jnp.float32)
+            fcz = jnp.zeros((b,) + self._fc_shape, self._feat_dtype)
+            attz = jnp.zeros((b,) + self._att_shape, self._feat_dtype)
             sz = jnp.full((b, self._m), self._ids.pad, jnp.int32)
             self._detect(self._senti_params, attz)
             out = self._serve(self._cap_params, fcz, attz, sz,
@@ -256,7 +314,8 @@ class DynamicBatcher:
 def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
                                  max_seq_len: int = 16,
                                  bucket_sizes=(1, 8, 32, 128, 384),
-                                 max_wait_s: float = 0.005):
+                                 max_wait_s: float = 0.005,
+                                 compute_dtype: str = "float32"):
     """Build a DynamicBatcher (plus vocab/cats) from a composite RL
     checkpoint — the serving bootstrap path (mirrors cli/caption.py's
     load of the reference's train_rl.py:311-325 composite)."""
@@ -280,5 +339,6 @@ def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
     b = DynamicBatcher(loaded["captioner"], loaded["senti_detector"],
                        settings=settings, ids=ids, beam_size=beam_size,
                        max_seq_len=max_seq_len, bucket_sizes=bucket_sizes,
-                       max_wait_s=max_wait_s, num_cats=len(cats))
+                       max_wait_s=max_wait_s, num_cats=len(cats),
+                       compute_dtype=compute_dtype)
     return b, vocab, cats, settings

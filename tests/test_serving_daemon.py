@@ -197,3 +197,17 @@ def test_warm_compiles_every_bucket(params, settings):
         fc, att, sentis = _reqs(settings, 1)[0]
         seqs, _, _ = b.submit(fc, att, sentis, forced_label=0, timeout=300)
         assert seqs.shape == (2, T)
+
+
+def test_bfloat16_policy_serves_valid_captions(params, settings):
+    """compute_dtype='bfloat16' (the measured TPU serving policy) casts
+    params once and features host-side; tokens must stay valid ids and
+    the label path must still work. (Not bit-equal to f32 by nature.)"""
+    with _batcher(params, settings, compute_dtype="bfloat16") as b:
+        fc, att, sentis = _reqs(settings, 1, seed=3)[0]
+        seqs, scores, lab = b.submit(fc, att, sentis, forced_label=1,
+                                     timeout=300)
+        assert seqs.shape == (2, T) and seqs.dtype == np.int32
+        assert ((seqs >= 0) & (seqs < V)).all()
+        assert np.isfinite(scores).all()
+        assert lab == 1
