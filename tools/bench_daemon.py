@@ -7,6 +7,10 @@ Two modes:
               DynamicBatcher vs the same batches dispatched directly in
               a loop. Isolates the queue/coalesce/fan-out machinery
               (target: a few ms per batch, invisible next to decode).
+              Run this mode on the CPU backend: through the tunnel the
+              closed-loop clients serialize on the ~30+ ms link RTT per
+              batch, so the factor measures the link, not the machinery
+              (the direct baseline pipelines its 8 batches device-side).
   e2e       — production dims (Settings(), V=10k, beam=3): requests/s +
               latency through the daemon, with the host->device share
               measured separately by staging the same bytes. On THIS
