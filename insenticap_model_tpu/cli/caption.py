@@ -35,7 +35,6 @@ from ..models import captioner as cap
 from ..models import concept_detector as cpt_det
 from ..models import encoder as enc
 from ..models import sentiment_detector as senti_det
-from ..preprocessing import _rank_sentis
 from ..training import checkpoint as ckpt
 from ..vocab import Vocab
 from . import common
@@ -79,12 +78,7 @@ def load_models(a):
     }
     loaded, _, _ = ckpt.load(a.rl_model, {
         k: v for k, v in composite.items() if v is not None})
-    cmeta = ckpt.load_metadata(a.concept_model)
-    idx2concept = cmeta["idx2concept"]
-    cpt_params, _, _ = ckpt.load(
-        a.concept_model,
-        cpt_det.init_params(jax.random.PRNGKey(2), len(idx2concept),
-                            Settings.from_dict(cmeta["settings"])))
+    cpt_params, idx2concept = common.load_concept_model(a.concept_model)
     enc_params, _, _ = ckpt.load(a.resnet101_ckpt, enc.init_params(
         jax.random.PRNGKey(3)))
     return (settings, vocab, cats, loaded["captioner"],
@@ -126,10 +120,8 @@ def run(a) -> list:
         fc, att = feats[path]
         _, top_idx, _ = cpt_det.sample(cpt_params, fc, a.num_concepts)
         concepts = [idx2concept[k] for k in np.asarray(top_idx)[0]]
-        senti_words = _rank_sentis(concepts, senti_table)[:a.num_sentiments]
-        sentis = np.full((1, a.num_sentiments), vocab.pad_id, np.int32)
-        enc_ids = vocab.encode_filter(senti_words)
-        sentis[0, :len(enc_ids)] = enc_ids
+        sentis = common.senti_word_ids(concepts, senti_table, vocab,
+                                       a.num_sentiments)[None]
 
         weights = None
         if a.sentiment == "auto":

@@ -54,6 +54,34 @@ def token_ids(vocab: Vocab, sentiment_categories) -> TokenIds:
                     neutral=list(sentiment_categories).index("neutral"))
 
 
+def load_concept_model(path: str):
+    """Concept checkpoint -> (params, idx2concept); the inference-side
+    bootstrap shared by caption.py and serve.py."""
+    from ..config import Settings
+    from ..models import concept_detector as cpt_det
+    from ..training import checkpoint as ckpt
+    cmeta = ckpt.load_metadata(path)
+    idx2concept = cmeta["idx2concept"]
+    params, _, _ = ckpt.load(path, cpt_det.init_params(
+        jax.random.PRNGKey(2), len(idx2concept),
+        Settings.from_dict(cmeta["settings"])))
+    return params, idx2concept
+
+
+def senti_word_ids(concepts, senti_table, vocab: Vocab,
+                   num_sentiments: int) -> np.ndarray:
+    """Detected concepts -> ranked sentiment-word id row
+    [num_sentiments] int32, PAD-padded — the per-image det_sentiments
+    pipeline (reference preprocess.py:280-302) as used at inference time
+    by caption.py and the serving daemon."""
+    from ..preprocessing import _rank_sentis
+    words = _rank_sentis(concepts, senti_table)[:num_sentiments]
+    row = np.full((num_sentiments,), vocab.pad_id, np.int32)
+    ids = vocab.encode_filter(words)
+    row[:len(ids)] = ids
+    return row
+
+
 def sniff_store_path(path: str) -> str:
     """Prefer a native-format (.isc) store at the same stem when present;
     otherwise return the given path (typically .h5)."""

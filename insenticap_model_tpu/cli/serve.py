@@ -31,19 +31,15 @@ from __future__ import annotations
 
 import argparse
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .. import preprocessing, serving_daemon
 from ..models import concept_detector as cpt_det
 from ..models import encoder as enc
-from ..preprocessing import _rank_sentis
 from ..training import checkpoint as ckpt
-from ..vocab import Vocab
 from . import common
 
 
@@ -86,7 +82,8 @@ class ServeApp:
                 max_seq_len=a.max_seq_len,
                 bucket_sizes=tuple(json.loads(a.bucket_sizes)),
                 max_wait_s=a.max_wait_ms / 1e3,
-                compute_dtype=a.compute_dtype)
+                compute_dtype=a.compute_dtype,
+                num_sentiments=a.num_sentiments)
         self.batcher = batcher
         self.vocab = vocab
         self.cats = list(cats)
@@ -94,14 +91,8 @@ class ServeApp:
         self.num_concepts = a.num_concepts
         self.num_sentiments = a.num_sentiments
 
-        cmeta = ckpt.load_metadata(a.concept_model)
-        self.idx2concept = cmeta["idx2concept"]
-        from ..config import Settings
-        self.cpt_params, _, _ = ckpt.load(
-            a.concept_model,
-            cpt_det.init_params(jax.random.PRNGKey(2),
-                                len(self.idx2concept),
-                                Settings.from_dict(cmeta["settings"])))
+        self.cpt_params, self.idx2concept = common.load_concept_model(
+            a.concept_model)
         self._cpt_sample = jax.jit(
             lambda p, fc: cpt_det.sample(p, fc, self.num_concepts)[1])
         with open(a.sentiment_detector_json) as f:
@@ -111,9 +102,20 @@ class ServeApp:
         if a.resnet101_ckpt:
             self.enc_params, _, _ = ckpt.load(
                 a.resnet101_ckpt, enc.init_params(jax.random.PRNGKey(3)))
-            self._enc_fwd = jax.jit(lambda p, x: enc.forward_batch(p, x))
+            # raw-uint8 path: normalize folded into conv1, 4x fewer
+            # host->device bytes than shipping float pixels
+            self._enc_raw = jax.jit(
+                lambda p, x: enc.forward_raw_batch(p, x))
         if a.warm:
             self.batcher.warm()
+            if self.enc_params is not None:
+                # encoder shapes are bounded by the resize ladder, so
+                # they CAN be pre-compiled (one program per bucket)
+                for hb, wb in preprocessing.DEFAULT_BUCKET_SHAPES:
+                    fc, _ = self._enc_raw(
+                        self.enc_params,
+                        np.zeros((1, hb, wb, 3), np.uint8))
+                    np.asarray(fc.sum())       # force-complete (scalar)
 
     # -- request path -----------------------------------------------------
 
@@ -126,27 +128,35 @@ class ServeApp:
             raise ValueError("need 'fc'+'att' or 'image_path'")
         if self.enc_params is None:
             raise ValueError("image mode needs --resnet101_ckpt")
-        x = enc.preprocess(preprocessing.load_image(path))
-        fc, att = self._enc_fwd(self.enc_params, x[None])
+        # static shape ladder: arbitrary client image sizes resize to one
+        # of DEFAULT_BUCKET_SHAPES, so the encoder compiles O(#buckets)
+        # programs, never per distinct image shape (a full-size compile
+        # is minutes-slow — an unbounded daemon cannot afford per-shape)
+        u8 = preprocessing.to_rgb_uint8(preprocessing.load_image(path))
+        bucket = preprocessing.bucket_for_shape(
+            *u8.shape[:2], preprocessing.DEFAULT_BUCKET_SHAPES)
+        x = preprocessing.resize_to_bucket(u8, bucket)
+        fc, att = self._enc_raw(self.enc_params, x[None])
         return np.asarray(fc)[0], np.asarray(att)[0]
 
     def handle_caption(self, payload: dict) -> dict:
+        timeout = payload.get("timeout", 300.0)
+        try:                       # client-supplied: validate and clamp
+            timeout = min(max(float(timeout), 0.001), 3600.0)
+        except (TypeError, ValueError):
+            raise ValueError(f"bad timeout {timeout!r}")
+
         fc, att = self._features(payload)
         top = np.asarray(self._cpt_sample(self.cpt_params, fc[None]))[0]
         concepts = [self.idx2concept[k] for k in top]
-        senti_words = _rank_sentis(
-            concepts, self.senti_table)[:self.num_sentiments]
-        sentis = np.full((self.num_sentiments,), self.vocab.pad_id,
-                         np.int32)
-        enc_ids = self.vocab.encode_filter(senti_words)
-        sentis[:len(enc_ids)] = enc_ids
+        sentis = common.senti_word_ids(concepts, self.senti_table,
+                                       self.vocab, self.num_sentiments)
 
         want = payload.get("sentiment", "auto")
         forced = serving_daemon.AUTO if want == "auto" \
             else self.cats.index(want)
         seqs, scores, label = self.batcher.submit(
-            fc, att, sentis, forced_label=forced,
-            timeout=payload.get("timeout", 300.0))
+            fc, att, sentis, forced_label=forced, timeout=timeout)
         return {"caption": self.vocab.decode_to_text(seqs[0]),
                 "sentiment": self.cats[label],
                 "score": float(scores[0]),

@@ -129,9 +129,14 @@ class DynamicBatcher:
         # drain back), blocking the dispatch thread beyond that
         self._fq: "queue.Queue" = queue.Queue(2)
         self._closed = False
+        # serializes the closed-check+enqueue against close()'s
+        # closed-set+sentinel, so no request can land BEHIND the sentinel
+        # (where it would never be served nor errored)
+        self._submit_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0,
                        "by_bucket": {b: 0 for b in self._buckets},
-                       "padded_rows": 0}
+                       "padded_rows": 0,
+                       "failed_requests": 0, "failed_batches": 0}
         self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="isc-serve-batcher")
@@ -167,7 +172,10 @@ class DynamicBatcher:
             raise ValueError(f"forced_label {forced_label} not in "
                              f"[0, {self._num_cats}) or AUTO")
         r = _Request(fc, att, sentis, int(forced_label))
-        self._q.put(r)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put(r)
         if not r.done.wait(timeout):
             raise TimeoutError("serving request timed out")
         if r.error is not None:
@@ -176,17 +184,17 @@ class DynamicBatcher:
 
     def stats(self) -> Dict:
         with self._stats_lock:
-            return {"requests": self._stats["requests"],
-                    "batches": self._stats["batches"],
-                    "by_bucket": dict(self._stats["by_bucket"]),
-                    "padded_rows": self._stats["padded_rows"]}
+            out = dict(self._stats)
+            out["by_bucket"] = dict(self._stats["by_bucket"])
+            return out
 
     def close(self) -> None:
         """Drain queued requests, stop both stage threads."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)          # sentinel after any queued work
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)      # sentinel after any queued work
         self._worker.join()        # dispatch forwards a sentinel on exit
         self._finisher.join()
 
@@ -231,6 +239,7 @@ class DynamicBatcher:
             try:
                 self._dispatch(batch)
             except BaseException as e:  # deliver, don't kill the thread
+                self._count_failure(len(batch))
                 for r in batch:
                     r.error = e
                     r.done.set()
@@ -244,8 +253,8 @@ class DynamicBatcher:
         stay ON DEVICE: forced rows merge with detected rows via a
         device-side where, avoiding a detect->host->serve round-trip."""
         n = len(batch)
-        bucket = next(b for b in self._buckets if b >= n) \
-            if n <= self._buckets[-1] else self._buckets[-1]
+        # _collect caps batches at buckets[-1], so this always matches
+        bucket = next(b for b in self._buckets if b >= n)
         pad = bucket - n
         rows = batch + [batch[-1]] * pad      # repeat a live row
         # host-side dtype cast BEFORE shipping (bf16 halves link bytes)
@@ -279,6 +288,7 @@ class DynamicBatcher:
                 scores = np.asarray(scores, np.float32)
                 labels = np.asarray(labels)
             except BaseException as e:   # runtime device errors land here
+                self._count_failure(len(batch))
                 for r in batch:
                     r.error = e
                     r.done.set()
@@ -293,6 +303,14 @@ class DynamicBatcher:
             for i, r in enumerate(batch):
                 r.result = (seqs[i], scores[i], int(labels[i]))
                 r.done.set()
+
+    def _count_failure(self, n: int) -> None:
+        """Failed traffic must still show in /stats — an operator
+        watching a daemon that receives-and-fails load should not see
+        flat counters."""
+        with self._stats_lock:
+            self._stats["failed_requests"] += n
+            self._stats["failed_batches"] += 1
 
     # -- warmup -----------------------------------------------------------
 
@@ -315,7 +333,8 @@ def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
                                  max_seq_len: int = 16,
                                  bucket_sizes=(1, 8, 32, 128, 384),
                                  max_wait_s: float = 0.005,
-                                 compute_dtype: str = "float32"):
+                                 compute_dtype: str = "float32",
+                                 num_sentiments: int = 10):
     """Build a DynamicBatcher (plus vocab/cats) from a composite RL
     checkpoint — the serving bootstrap path (mirrors cli/caption.py's
     load of the reference's train_rl.py:311-325 composite)."""
@@ -340,5 +359,6 @@ def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
                        settings=settings, ids=ids, beam_size=beam_size,
                        max_seq_len=max_seq_len, bucket_sizes=bucket_sizes,
                        max_wait_s=max_wait_s, num_cats=len(cats),
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype,
+                       num_sentiments=num_sentiments)
     return b, vocab, cats, settings

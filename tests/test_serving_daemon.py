@@ -211,3 +211,21 @@ def test_bfloat16_policy_serves_valid_captions(params, settings):
         assert ((seqs >= 0) & (seqs < V)).all()
         assert np.isfinite(scores).all()
         assert lab == 1
+
+
+def test_failed_batches_show_in_stats(params, settings):
+    """Failed traffic must still be visible to /stats (review finding:
+    an operator watching a daemon that receives-and-fails load must not
+    see flat counters)."""
+    b = _batcher(params, settings)
+    try:
+        ok_req = _reqs(settings, 1, seed=4)[0]
+        b._serve = None  # type: ignore[assignment]
+        with pytest.raises(TypeError):
+            b.submit(*ok_req, forced_label=0, timeout=300)
+        st = b.stats()
+        assert st["failed_requests"] == 1
+        assert st["failed_batches"] == 1
+        assert st["requests"] == 0      # successes counted separately
+    finally:
+        b.close()
