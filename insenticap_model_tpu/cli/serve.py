@@ -60,6 +60,10 @@ def build_parser():
     p.add_argument("--num_sentiments", type=int, default=10)
     p.add_argument("--bucket_sizes", type=str, default="[1,8,32,128,384]")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--queue_timeout_ms", type=float, default=100.0,
+                   help="how long a request waits for queue space when "
+                        "the daemon is saturated before it is shed with "
+                        "HTTP 503")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = the measured TPU serving policy; "
@@ -90,6 +94,7 @@ class ServeApp:
         self.settings = settings
         self.num_concepts = a.num_concepts
         self.num_sentiments = a.num_sentiments
+        self.queue_timeout_s = a.queue_timeout_ms / 1e3
 
         self.cpt_params, self.idx2concept = common.load_concept_model(
             a.concept_model)
@@ -156,7 +161,8 @@ class ServeApp:
         forced = serving_daemon.AUTO if want == "auto" \
             else self.cats.index(want)
         seqs, scores, label = self.batcher.submit(
-            fc, att, sentis, forced_label=forced, timeout=timeout)
+            fc, att, sentis, forced_label=forced, timeout=timeout,
+            enqueue_timeout=self.queue_timeout_s)
         return {"caption": self.vocab.decode_to_text(seqs[0]),
                 "sentiment": self.cats[label],
                 "score": float(scores[0]),
@@ -194,6 +200,10 @@ def make_server(a) -> ThreadingHTTPServer:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 self._send(200, app.handle_caption(payload))
+            except serving_daemon.Saturated as e:
+                self._send(503, {"error": str(e)})     # shed load
+            except TimeoutError as e:
+                self._send(504, {"error": str(e)})
             except (ValueError, KeyError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:       # keep the daemon alive

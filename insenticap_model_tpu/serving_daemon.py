@@ -51,6 +51,11 @@ from .models import sentiment_detector as senti_det
 AUTO = -1  # submit(forced_label=AUTO) -> use the image sentiment detector
 
 
+class Saturated(RuntimeError):
+    """Request queue full past enqueue_timeout — shed load upstream
+    (the HTTP layer maps this to 503)."""
+
+
 class _Request:
     __slots__ = ("fc", "att", "sentis", "forced_label", "done", "result",
                  "error")
@@ -149,13 +154,19 @@ class DynamicBatcher:
     # -- public API -------------------------------------------------------
 
     def submit(self, fc, att, sentis, forced_label: int = AUTO,
-               timeout: Optional[float] = None):
+               timeout: Optional[float] = None,
+               enqueue_timeout: Optional[float] = None):
         """Caption one image. Blocks until its batch completes.
 
         fc [Ff] float, att [14, 14, Fa] float, sentis [M] int32 ranked
         sentiment-word ids (PAD-padded), forced_label AUTO or a
         sentiment index. Returns (seqs [beam, T] int32 desc-sorted,
         scores [beam] f32, label int).
+
+        enqueue_timeout: how long to wait for queue space when the
+        daemon is saturated — None blocks indefinitely (library
+        backpressure); a number raises Saturated past the deadline so
+        the caller can shed load (HTTP 503).
         """
         if self._closed:
             raise RuntimeError("batcher is closed")
@@ -172,10 +183,24 @@ class DynamicBatcher:
             raise ValueError(f"forced_label {forced_label} not in "
                              f"[0, {self._num_cats}) or AUTO")
         r = _Request(fc, att, sentis, int(forced_label))
-        with self._submit_lock:
-            if self._closed:
-                raise RuntimeError("batcher is closed")
-            self._q.put(r)
+        # enqueue without ever holding the lock across a blocking put
+        # (a full-queue blocking put under the lock would stall close())
+        deadline = None if enqueue_timeout is None \
+            else time.monotonic() + enqueue_timeout
+        while True:
+            with self._submit_lock:
+                if self._closed:
+                    raise RuntimeError("batcher is closed")
+                try:
+                    self._q.put_nowait(r)
+                    break
+                except queue.Full:
+                    pass
+            if deadline is not None and time.monotonic() >= deadline:
+                raise Saturated(
+                    f"request queue full ({self._q.maxsize}) past "
+                    f"enqueue_timeout={enqueue_timeout}s")
+            time.sleep(0.001)
         if not r.done.wait(timeout):
             raise TimeoutError("serving request timed out")
         if r.error is not None:

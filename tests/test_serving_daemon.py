@@ -229,3 +229,50 @@ def test_failed_batches_show_in_stats(params, settings):
         assert st["requests"] == 0      # successes counted separately
     finally:
         b.close()
+
+
+def test_saturation_sheds_load_with_saturated(params, settings):
+    """When the queue is full past enqueue_timeout, submit raises
+    Saturated (HTTP 503 upstream) instead of blocking forever; blocked
+    requests complete once the pipeline unblocks. Dispatch is frozen by
+    an Event inside a poisoned serve fn, so saturation is deterministic."""
+    import time as _time
+
+    cp, sp = params
+    b = _batcher(params, settings, bucket_sizes=(1,), max_queue=1)
+    real_serve = b._serve
+    gate = threading.Event()
+
+    def slow_serve(*a):
+        gate.wait(60)
+        return real_serve(*a)
+
+    b._serve = slow_serve
+    reqs = _reqs(settings, 3, seed=5)
+    results = [None] * 2
+    try:
+        # r0 occupies the dispatch thread (blocked in slow_serve);
+        # give it a moment to leave the queue, then r1 fills the queue
+        ts = [threading.Thread(
+            target=lambda i=i: results.__setitem__(
+                i, b.submit(*reqs[i], forced_label=0, timeout=300)))
+            for i in range(2)]
+        ts[0].start()
+        deadline = _time.time() + 10
+        while b._q.qsize() > 0 and _time.time() < deadline:
+            _time.sleep(0.01)
+        ts[1].start()
+        deadline = _time.time() + 10
+        while b._q.qsize() < 1 and _time.time() < deadline:
+            _time.sleep(0.01)
+
+        with pytest.raises(serving_daemon.Saturated):
+            b.submit(*reqs[2], forced_label=0, enqueue_timeout=0.05)
+
+        gate.set()                      # unblock; queued work completes
+        for t in ts:
+            t.join(timeout=120)
+        assert results[0] is not None and results[1] is not None
+    finally:
+        gate.set()
+        b.close()
