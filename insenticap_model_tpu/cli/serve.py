@@ -68,6 +68,10 @@ def build_parser():
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = the measured TPU serving policy; "
                         "also halves request host->device bytes")
+    p.add_argument("--mesh_shape", type=str, default="",
+                   help="e.g. '[8]': data-parallel serving over a device "
+                        "mesh (shard_map per-device programs; every "
+                        "bucket size must divide the data-axis size)")
     p.add_argument("--warm", action="store_true",
                    help="pre-compile every bucket before accepting "
                         "traffic (first full-size TPU compile is "
@@ -80,6 +84,10 @@ class ServeApp:
     (tests drive handle_caption directly or over a real socket)."""
 
     def __init__(self, a):
+        mesh = None
+        if a.mesh_shape:
+            from ..parallel import mesh as pmesh
+            mesh = pmesh.make_mesh(tuple(json.loads(a.mesh_shape)))
         batcher, vocab, cats, settings = \
             serving_daemon.make_batcher_from_checkpoint(
                 a.rl_model, beam_size=a.beam_size,
@@ -87,7 +95,7 @@ class ServeApp:
                 bucket_sizes=tuple(json.loads(a.bucket_sizes)),
                 max_wait_s=a.max_wait_ms / 1e3,
                 compute_dtype=a.compute_dtype,
-                num_sentiments=a.num_sentiments)
+                num_sentiments=a.num_sentiments, mesh=mesh)
         self.batcher = batcher
         self.vocab = vocab
         self.cats = list(cats)

@@ -170,6 +170,50 @@ def make_sharded_serving_fn(mesh, settings, ids: cap.TokenIds,
     return jax.jit(smapped)
 
 
+def make_sharded_forced_serving_fn(mesh, settings, ids: cap.TokenIds,
+                                   beam_size: int = 3,
+                                   max_seq_len: int = 16):
+    """Data-parallel forced-label decode over `mesh`'s `data` axis —
+    the serving daemon's scale-out path (labels are an input, so mixed
+    auto/forced batches work; see make_sharded_serving_fn for why
+    shard_map rather than jit-with-sharded-operands: the pallas decode
+    kernels must run per-device on locally-shaped shards). Params
+    replicate; the batch must divide the data-axis size."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(cap_params, fc, att, sentis, senti_labels):
+        ctx, _ = cap.build_visual_context(
+            cap_params, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
+            True, senti_words=sentis, senti_labels=senti_labels,
+            pad_id=ids.pad)
+        return beam.beam_search_batched(
+            cap_params, ctx, settings=settings, ids=ids,
+            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
+
+    smapped = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_vma=False)
+    return jax.jit(smapped)
+
+
+def make_sharded_detect_fn(mesh, senti_threshold: float = SENTI_THRESHOLD,
+                           neutral: int = 2):
+    """Data-parallel image-sentiment detection (labels only) over
+    `mesh`'s `data` axis — pairs with make_sharded_forced_serving_fn in
+    the daemon's sharded mode."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(params, att):
+        return senti_det.sample(params, att, senti_threshold, neutral)[0]
+
+    smapped = jax.shard_map(local_fn, mesh=mesh,
+                            in_specs=(P(), P("data")), out_specs=P("data"),
+                            check_vma=False)
+    return jax.jit(smapped)
+
+
 def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
                            max_seq_len: int = 16,
                            return_weights: bool = False):

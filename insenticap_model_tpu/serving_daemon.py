@@ -84,6 +84,10 @@ class DynamicBatcher:
         co-riders before a partial batch dispatches.
     senti_threshold : detector confidence below which auto rows fall
         back to neutral (reference decoder.py:41's 0.7).
+    mesh : optional jax.sharding.Mesh — multi-chip serving: params
+        replicate, every batch shards over the mesh's `data` axis, and
+        both programs run per-device via shard_map (token-identical to
+        single-device; every bucket must divide the data-axis size).
     """
 
     def __init__(self, cap_params, senti_params, *, settings, ids,
@@ -93,10 +97,17 @@ class DynamicBatcher:
                  senti_threshold: float = inference.SENTI_THRESHOLD,
                  num_sentiments: int = 10, att_hw: Tuple[int, int] = (14, 14),
                  num_cats: int = 3, compute_dtype: str = "float32",
-                 max_queue: int = 4096):
+                 mesh=None, max_queue: int = 4096):
         if list(bucket_sizes) != sorted(set(bucket_sizes)):
             raise ValueError(f"bucket_sizes must be ascending/unique: "
                              f"{bucket_sizes}")
+        if mesh is not None:
+            n_data = int(mesh.shape["data"])
+            bad = [b for b in bucket_sizes if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"bucket sizes {bad} do not divide the mesh data-axis "
+                    f"size {n_data}; each device must get an equal shard")
         self._ids = ids
         # bf16 is the measured TPU serving policy (CLAUDE.md / bench.py):
         # params cast once here, features cast HOST-side per batch — that
@@ -121,13 +132,29 @@ class DynamicBatcher:
         self._num_cats = int(num_cats)
         self._buckets = tuple(int(b) for b in bucket_sizes)
         self._max_wait_s = float(max_wait_s)
-        self._cap_params = cap_params
-        self._detect = jax.jit(
-            lambda p, att: senti_det.sample(p, att, senti_threshold,
-                                            ids.neutral)[0])
-        self._senti_params = senti_params
-        self._serve = inference.make_forced_serving_fn(
-            settings, ids, beam_size, max_seq_len)
+        self._batch_sharding = None
+        if mesh is None:
+            self._cap_params = cap_params
+            self._senti_params = senti_params
+            self._detect = jax.jit(
+                lambda p, att: senti_det.sample(p, att, senti_threshold,
+                                                ids.neutral)[0])
+            self._serve = inference.make_forced_serving_fn(
+                settings, ids, beam_size, max_seq_len)
+        else:
+            # multi-chip serving: params replicate, batches shard over
+            # the mesh's data axis, and both programs run per-device via
+            # shard_map (the path that keeps the pallas decode kernels
+            # legal — see inference.make_sharded_serving_fn)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel import mesh as pmesh
+            self._cap_params = pmesh.replicate(mesh, cap_params)
+            self._senti_params = pmesh.replicate(mesh, senti_params)
+            self._detect = inference.make_sharded_detect_fn(
+                mesh, senti_threshold, ids.neutral)
+            self._serve = inference.make_sharded_forced_serving_fn(
+                mesh, settings, ids, beam_size, max_seq_len)
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(max_queue)
         # dispatched-but-unmaterialized batches; bound = 2 batches in
         # flight (double buffering: ship batch N+1 while N's results
@@ -282,20 +309,27 @@ class DynamicBatcher:
         bucket = next(b for b in self._buckets if b >= n)
         pad = bucket - n
         rows = batch + [batch[-1]] * pad      # repeat a live row
-        # host-side dtype cast BEFORE shipping (bf16 halves link bytes)
-        fc = jnp.asarray(np.stack([r.fc for r in rows])
-                         .astype(self._feat_dtype))
-        att = jnp.asarray(np.stack([r.att for r in rows])
-                          .astype(self._feat_dtype))
-        sentis = jnp.asarray(np.stack([r.sentis for r in rows]))
+
+        def stage(x):
+            # host-side dtype casts happen BEFORE shipping (bf16 halves
+            # link bytes); in mesh mode device_put shards the host array
+            # straight across the data axis (no single-device bounce)
+            if self._batch_sharding is not None:
+                return jax.device_put(x, self._batch_sharding)
+            return jnp.asarray(x)
+
+        fc = stage(np.stack([r.fc for r in rows]).astype(self._feat_dtype))
+        att = stage(np.stack([r.att for r in rows])
+                    .astype(self._feat_dtype))
+        sentis = stage(np.stack([r.sentis for r in rows]))
 
         forced = np.asarray([r.forced_label for r in rows], np.int32)
         if (forced == AUTO).any():
             detected = self._detect(self._senti_params, att)
-            labels = jnp.where(jnp.asarray(forced) == AUTO, detected,
-                               jnp.asarray(forced))
+            labels = jnp.where(stage(forced) == AUTO, detected,
+                               stage(forced))
         else:
-            labels = jnp.asarray(forced)
+            labels = stage(forced)
 
         seqs, scores = self._serve(self._cap_params, fc, att, sentis,
                                    labels)
@@ -359,7 +393,7 @@ def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
                                  bucket_sizes=(1, 8, 32, 128, 384),
                                  max_wait_s: float = 0.005,
                                  compute_dtype: str = "float32",
-                                 num_sentiments: int = 10):
+                                 num_sentiments: int = 10, mesh=None):
     """Build a DynamicBatcher (plus vocab/cats) from a composite RL
     checkpoint — the serving bootstrap path (mirrors cli/caption.py's
     load of the reference's train_rl.py:311-325 composite)."""
@@ -385,5 +419,5 @@ def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
                        max_seq_len=max_seq_len, bucket_sizes=bucket_sizes,
                        max_wait_s=max_wait_s, num_cats=len(cats),
                        compute_dtype=compute_dtype,
-                       num_sentiments=num_sentiments)
+                       num_sentiments=num_sentiments, mesh=mesh)
     return b, vocab, cats, settings

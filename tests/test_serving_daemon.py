@@ -276,3 +276,43 @@ def test_saturation_sheds_load_with_saturated(params, settings):
     finally:
         gate.set()
         b.close()
+
+
+def test_mesh_mode_matches_single_device(params, settings):
+    """mesh= routes the daemon through the shard_map data-parallel
+    programs (params replicated, batches sharded over `data`): outputs
+    must be token-identical to the unsharded daemon, auto and forced
+    rows alike."""
+    from insenticap_model_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh((4,))
+    reqs = _reqs(settings, 4, seed=6)
+    forced = [AUTO, 0, 1, 2]
+
+    def run(**kw):
+        out = [None] * 4
+        with _batcher(params, settings, bucket_sizes=(4,), **kw) as b:
+            ts = [threading.Thread(
+                target=lambda i=i: out.__setitem__(
+                    i, b.submit(*reqs[i], forced_label=forced[i],
+                                timeout=300)))
+                for i in range(4)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        return out
+
+    plain = run()
+    sharded = run(mesh=mesh)
+    for p1, p2 in zip(plain, sharded):
+        np.testing.assert_array_equal(p1[0], p2[0])       # tokens
+        np.testing.assert_allclose(p1[1], p2[1], rtol=2e-5, atol=2e-5)
+        assert p1[2] == p2[2]                             # labels
+
+
+def test_mesh_mode_rejects_indivisible_buckets(params, settings):
+    from insenticap_model_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh((4,))
+    with pytest.raises(ValueError, match="divide the mesh"):
+        _batcher(params, settings, bucket_sizes=(2, 4), mesh=mesh)
