@@ -58,7 +58,12 @@ def build_parser():
     p.add_argument("--max_seq_len", type=int, default=16)
     p.add_argument("--num_concepts", type=int, default=5)
     p.add_argument("--num_sentiments", type=int, default=10)
-    p.add_argument("--bucket_sizes", type=str, default="[1,8,32,128,384]")
+    p.add_argument("--bucket_sizes", type=str, default="",
+                   help="ascending batch-bucket ladder, default "
+                        "[1,8,32,128,384] (under --mesh_shape the default "
+                        "ladder rounds each bucket up to a multiple of the "
+                        "data-axis size; explicit values must already be "
+                        "multiples)")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--queue_timeout_ms", type=float, default=100.0,
                    help="how long a request waits for queue space when "
@@ -69,9 +74,10 @@ def build_parser():
                    help="bfloat16 = the measured TPU serving policy; "
                         "also halves request host->device bytes")
     p.add_argument("--mesh_shape", type=str, default="",
-                   help="e.g. '[8]': data-parallel serving over a device "
-                        "mesh (shard_map per-device programs; every "
-                        "bucket size must divide the data-axis size)")
+                   help="e.g. '[8]': data-parallel serving over a 1-D "
+                        "device mesh (shard_map per-device programs; every "
+                        "bucket size must be a multiple of the data-axis "
+                        "size)")
     p.add_argument("--warm", action="store_true",
                    help="pre-compile every bucket before accepting "
                         "traffic (first full-size TPU compile is "
@@ -87,12 +93,20 @@ class ServeApp:
         mesh = None
         if a.mesh_shape:
             from ..parallel import mesh as pmesh
-            mesh = pmesh.make_mesh(tuple(json.loads(a.mesh_shape)))
+            shape = tuple(json.loads(a.mesh_shape))
+            if len(shape) != 1:
+                # the daemon only shards over `data`; a silent extra axis
+                # would replicate all serving work across it
+                raise SystemExit(
+                    f"--mesh_shape must be 1-D for serving (got {shape}); "
+                    f"use '[{int(np.prod(shape))}]'")
+            mesh = pmesh.make_mesh(shape)
         batcher, vocab, cats, settings = \
             serving_daemon.make_batcher_from_checkpoint(
                 a.rl_model, beam_size=a.beam_size,
                 max_seq_len=a.max_seq_len,
-                bucket_sizes=tuple(json.loads(a.bucket_sizes)),
+                bucket_sizes=(tuple(json.loads(a.bucket_sizes))
+                              if a.bucket_sizes else None),
                 max_wait_s=a.max_wait_ms / 1e3,
                 compute_dtype=a.compute_dtype,
                 num_sentiments=a.num_sentiments, mesh=mesh)

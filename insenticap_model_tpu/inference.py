@@ -147,7 +147,7 @@ def make_sharded_serving_fn(mesh, settings, ids: cap.TokenIds,
     multi-chip serving: the hot path contains pallas kernels (beam-shared
     attention, Winograd detector convs) which XLA's GSPMD partitioner
     cannot split, so they must run per-device on locally-shaped shards.
-    Params replicate; the global batch must divide the data-axis size
+    Params replicate; the global batch must be a multiple of the data-axis size
     (and the per-device shard keeps the kernels' batch divisibility,
     e.g. 384 over 8 chips -> 48 per chip).
 
@@ -170,6 +170,31 @@ def make_sharded_serving_fn(mesh, settings, ids: cap.TokenIds,
     return jax.jit(smapped)
 
 
+def _forced_decode_local(settings, ids: cap.TokenIds, beam_size: int,
+                         max_seq_len: int, return_weights: bool = False):
+    """The forced-label decode body shared by the single-chip and
+    shard_map serving factories — one definition so the two daemons
+    cannot silently diverge (their token-identity is parity-tested)."""
+    def fn(cap_params, fc, att, sentis, senti_labels):
+        ctx, _ = cap.build_visual_context(
+            cap_params, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
+            True, senti_words=sentis, senti_labels=senti_labels,
+            pad_id=ids.pad)
+        return beam.beam_search_batched(
+            cap_params, ctx, settings=settings, ids=ids,
+            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl",
+            return_weights=return_weights)
+    return fn
+
+
+def _detect_local(senti_threshold: float, neutral: int):
+    """Image-sentiment label detection body shared by the single-chip
+    and shard_map factories."""
+    def fn(params, att):
+        return senti_det.sample(params, att, senti_threshold, neutral)[0]
+    return fn
+
+
 def make_sharded_forced_serving_fn(mesh, settings, ids: cap.TokenIds,
                                    beam_size: int = 3,
                                    max_seq_len: int = 16):
@@ -178,20 +203,12 @@ def make_sharded_forced_serving_fn(mesh, settings, ids: cap.TokenIds,
     auto/forced batches work; see make_sharded_serving_fn for why
     shard_map rather than jit-with-sharded-operands: the pallas decode
     kernels must run per-device on locally-shaped shards). Params
-    replicate; the batch must divide the data-axis size."""
+    replicate; the batch must be a multiple of the data-axis size."""
     from jax.sharding import PartitionSpec as P
 
-    def local_fn(cap_params, fc, att, sentis, senti_labels):
-        ctx, _ = cap.build_visual_context(
-            cap_params, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
-            True, senti_words=sentis, senti_labels=senti_labels,
-            pad_id=ids.pad)
-        return beam.beam_search_batched(
-            cap_params, ctx, settings=settings, ids=ids,
-            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl")
-
     smapped = jax.shard_map(
-        local_fn, mesh=mesh,
+        _forced_decode_local(settings, ids, beam_size, max_seq_len),
+        mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
         out_specs=(P("data"), P("data")),
         check_vma=False)
@@ -205,13 +222,17 @@ def make_sharded_detect_fn(mesh, senti_threshold: float = SENTI_THRESHOLD,
     the daemon's sharded mode."""
     from jax.sharding import PartitionSpec as P
 
-    def local_fn(params, att):
-        return senti_det.sample(params, att, senti_threshold, neutral)[0]
-
-    smapped = jax.shard_map(local_fn, mesh=mesh,
+    smapped = jax.shard_map(_detect_local(senti_threshold, neutral),
+                            mesh=mesh,
                             in_specs=(P(), P("data")), out_specs=P("data"),
                             check_vma=False)
     return jax.jit(smapped)
+
+
+def make_detect_fn(senti_threshold: float = SENTI_THRESHOLD,
+                   neutral: int = 2):
+    """Jitted single-chip image-sentiment label detection."""
+    return jax.jit(_detect_local(senti_threshold, neutral))
 
 
 def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
@@ -220,14 +241,5 @@ def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,
     """Jitted sentiment-FORCED beam decode: like detect_and_decode but the
     label comes from the caller instead of the image detector (the paper's
     controllable-sentiment mode)."""
-    @jax.jit
-    def fn(cap_params, fc, att, sentis, senti_labels):
-        ctx, _ = cap.build_visual_context(
-            cap_params, fc, att, settings.dropout_p, jax.random.PRNGKey(0),
-            True, senti_words=sentis, senti_labels=senti_labels,
-            pad_id=ids.pad)
-        return beam.beam_search_batched(
-            cap_params, ctx, settings=settings, ids=ids,
-            beam_size=beam_size, max_seq_len=max_seq_len, mode="rl",
-            return_weights=return_weights)
-    return fn
+    return jax.jit(_forced_decode_local(settings, ids, beam_size,
+                                        max_seq_len, return_weights))

@@ -50,6 +50,18 @@ from .models import sentiment_detector as senti_det
 
 AUTO = -1  # submit(forced_label=AUTO) -> use the image sentiment detector
 
+DEFAULT_BUCKETS = (1, 8, 32, 128, 384)
+
+
+def default_buckets(mesh=None) -> Tuple[int, ...]:
+    """The default bucket ladder; under a mesh every bucket rounds UP to
+    a multiple of the data-axis size (each device needs an equal shard),
+    deduped — e.g. (1,8,32,128,384) on an 8-device mesh -> (8,32,128,384)."""
+    if mesh is None:
+        return DEFAULT_BUCKETS
+    n = int(mesh.shape["data"])
+    return tuple(sorted({-(-b // n) * n for b in DEFAULT_BUCKETS}))
+
 
 class Saturated(RuntimeError):
     """Request queue full past enqueue_timeout — shed load upstream
@@ -87,17 +99,20 @@ class DynamicBatcher:
     mesh : optional jax.sharding.Mesh — multi-chip serving: params
         replicate, every batch shards over the mesh's `data` axis, and
         both programs run per-device via shard_map (token-identical to
-        single-device; every bucket must divide the data-axis size).
+        single-device; every bucket must be a MULTIPLE of the data-axis
+        size so each device gets an equal shard).
     """
 
     def __init__(self, cap_params, senti_params, *, settings, ids,
                  beam_size: int = 3, max_seq_len: int = 16,
-                 bucket_sizes: Sequence[int] = (1, 8, 32, 128, 384),
+                 bucket_sizes: Optional[Sequence[int]] = None,
                  max_wait_s: float = 0.005,
                  senti_threshold: float = inference.SENTI_THRESHOLD,
                  num_sentiments: int = 10, att_hw: Tuple[int, int] = (14, 14),
                  num_cats: int = 3, compute_dtype: str = "float32",
                  mesh=None, max_queue: int = 4096):
+        if bucket_sizes is None:
+            bucket_sizes = default_buckets(mesh)
         if list(bucket_sizes) != sorted(set(bucket_sizes)):
             raise ValueError(f"bucket_sizes must be ascending/unique: "
                              f"{bucket_sizes}")
@@ -106,8 +121,10 @@ class DynamicBatcher:
             bad = [b for b in bucket_sizes if b % n_data]
             if bad:
                 raise ValueError(
-                    f"bucket sizes {bad} do not divide the mesh data-axis "
-                    f"size {n_data}; each device must get an equal shard")
+                    f"bucket sizes {bad} are not multiples of the mesh "
+                    f"data-axis size {n_data}; each device must get an "
+                    f"equal shard (e.g. use "
+                    f"{sorted({-(-b // n_data) * n_data for b in bucket_sizes})})")
         self._ids = ids
         # bf16 is the measured TPU serving policy (CLAUDE.md / bench.py):
         # params cast once here, features cast HOST-side per batch — that
@@ -136,9 +153,8 @@ class DynamicBatcher:
         if mesh is None:
             self._cap_params = cap_params
             self._senti_params = senti_params
-            self._detect = jax.jit(
-                lambda p, att: senti_det.sample(p, att, senti_threshold,
-                                                ids.neutral)[0])
+            self._detect = inference.make_detect_fn(senti_threshold,
+                                                    ids.neutral)
             self._serve = inference.make_forced_serving_fn(
                 settings, ids, beam_size, max_seq_len)
         else:
@@ -296,6 +312,16 @@ class DynamicBatcher:
                     r.error = e
                     r.done.set()
 
+    def _stage(self, x):
+        """Host array -> device. Host-side dtype casts happen BEFORE
+        shipping (bf16 halves link bytes); in mesh mode device_put shards
+        the host array straight across the data axis (no single-device
+        bounce). Shared by _dispatch and warm() so both produce the same
+        input-sharding signature (one jit executable per bucket)."""
+        if self._batch_sharding is not None:
+            return jax.device_put(x, self._batch_sharding)
+        return jnp.asarray(x)
+
     def _dispatch(self, batch: List[_Request]) -> None:
         """Stage 1: stack, ship, launch the device programs. JAX dispatch
         is asynchronous, so the returned arrays are futures — they go to
@@ -309,14 +335,7 @@ class DynamicBatcher:
         bucket = next(b for b in self._buckets if b >= n)
         pad = bucket - n
         rows = batch + [batch[-1]] * pad      # repeat a live row
-
-        def stage(x):
-            # host-side dtype casts happen BEFORE shipping (bf16 halves
-            # link bytes); in mesh mode device_put shards the host array
-            # straight across the data axis (no single-device bounce)
-            if self._batch_sharding is not None:
-                return jax.device_put(x, self._batch_sharding)
-            return jnp.asarray(x)
+        stage = self._stage
 
         fc = stage(np.stack([r.fc for r in rows]).astype(self._feat_dtype))
         att = stage(np.stack([r.att for r in rows])
@@ -324,12 +343,12 @@ class DynamicBatcher:
         sentis = stage(np.stack([r.sentis for r in rows]))
 
         forced = np.asarray([r.forced_label for r in rows], np.int32)
+        forced_dev = stage(forced)
         if (forced == AUTO).any():
             detected = self._detect(self._senti_params, att)
-            labels = jnp.where(stage(forced) == AUTO, detected,
-                               stage(forced))
+            labels = jnp.where(forced_dev == AUTO, detected, forced_dev)
         else:
-            labels = stage(forced)
+            labels = forced_dev
 
         seqs, scores = self._serve(self._cap_params, fc, att, sentis,
                                    labels)
@@ -377,20 +396,27 @@ class DynamicBatcher:
         """Pre-compile the detector + decode programs for the given
         buckets (default: all) with zero inputs, so first real requests
         don't pay the multi-minute XLA compile (CLAUDE.md). Call from
-        the serving thread's startup, before accepting traffic."""
+        the serving thread's startup, before accepting traffic.
+
+        Dummy inputs go through the same _stage() placement as
+        _dispatch's: jit caches one executable PER input-sharding
+        signature, so in mesh mode an unsharded warmup would compile a
+        program real traffic never reuses."""
         for b in (buckets or self._buckets):
-            fcz = jnp.zeros((b,) + self._fc_shape, self._feat_dtype)
-            attz = jnp.zeros((b,) + self._att_shape, self._feat_dtype)
-            sz = jnp.full((b, self._m), self._ids.pad, jnp.int32)
+            fcz = self._stage(np.zeros((b,) + self._fc_shape,
+                              np.dtype(self._feat_dtype)))
+            attz = self._stage(np.zeros((b,) + self._att_shape,
+                               np.dtype(self._feat_dtype)))
+            sz = self._stage(np.full((b, self._m), self._ids.pad, np.int32))
             self._detect(self._senti_params, attz)
             out = self._serve(self._cap_params, fcz, attz, sz,
-                              jnp.zeros((b,), jnp.int32))
+                              self._stage(np.zeros((b,), np.int32)))
             np.asarray(out[0])    # force-complete (tunnel sync rule)
 
 
 def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
                                  max_seq_len: int = 16,
-                                 bucket_sizes=(1, 8, 32, 128, 384),
+                                 bucket_sizes=None,
                                  max_wait_s: float = 0.005,
                                  compute_dtype: str = "float32",
                                  num_sentiments: int = 10, mesh=None):

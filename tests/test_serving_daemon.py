@@ -314,5 +314,49 @@ def test_mesh_mode_matches_single_device(params, settings):
 def test_mesh_mode_rejects_indivisible_buckets(params, settings):
     from insenticap_model_tpu.parallel import mesh as pmesh
     mesh = pmesh.make_mesh((4,))
-    with pytest.raises(ValueError, match="divide the mesh"):
+    with pytest.raises(ValueError, match="not multiples of the mesh"):
         _batcher(params, settings, bucket_sizes=(2, 4), mesh=mesh)
+
+
+def test_default_buckets_round_up_under_mesh(params, settings):
+    """bucket_sizes=None adapts the default ladder to the mesh: every
+    bucket rounds UP to a multiple of the data-axis size, deduped — so
+    --mesh_shape works without a manual --bucket_sizes override."""
+    from insenticap_model_tpu.parallel import mesh as pmesh
+
+    assert serving_daemon.default_buckets(None) == (1, 8, 32, 128, 384)
+    mesh = pmesh.make_mesh((8,))
+    assert serving_daemon.default_buckets(mesh) == (8, 32, 128, 384)
+    b = _batcher(params, settings, bucket_sizes=None, mesh=mesh)
+    try:
+        assert b._buckets == (8, 32, 128, 384)
+    finally:
+        b.close()
+
+
+def test_mesh_warm_compiles_the_production_signature(params, settings):
+    """warm() must stage its dummy inputs with the SAME sharding as
+    _dispatch: jit caches one executable per input-sharding signature,
+    so an unsharded warmup would leave the first real request paying the
+    full compile anyway (the exact cost --warm exists to hide)."""
+    from insenticap_model_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh((4,))
+    reqs = _reqs(settings, 4, seed=7)
+    with _batcher(params, settings, bucket_sizes=(4,), mesh=mesh) as b:
+        b.warm()
+        n_serve = b._serve._cache_size()
+        n_detect = b._detect._cache_size()
+        out = [None] * 4
+        ts = [threading.Thread(
+            target=lambda i=i: out.__setitem__(
+                i, b.submit(*reqs[i], forced_label=AUTO, timeout=300)))
+            for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert all(o is not None for o in out)
+        # no new executable: production traffic hit the warmed programs
+        assert b._serve._cache_size() == n_serve
+        assert b._detect._cache_size() == n_detect
