@@ -21,12 +21,17 @@ Modes (reference captioner.py:188-192):
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .. import nn
+
+# A/B knob: lax.scan unroll factor for the training rollout/teacher-forced
+# scans (serving keeps its early-exit while_loop). Measurement knob only.
+_SCAN_UNROLL = int(os.environ.get("ISC_SCAN_UNROLL", "1"))
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +321,8 @@ def _teacher_forced_scan(params, ctx: DecodeContext, captions, *, mode: str,
         return (state, logprobs), logprobs
 
     (_, _), out = jax.lax.scan(step_fn, (state0, prev0),
-                               (jnp.arange(T), step_keys))
+                               (jnp.arange(T), step_keys),
+                               unroll=_SCAN_UNROLL)
     return jnp.transpose(out, (1, 0, 2))                         # [bs, T, V]
 
 
@@ -411,7 +417,8 @@ def forward_rl(params, fc_feats, att_feats, cpt_words, senti_words,
         return (state, nxt, unfinished), (nxt, samp_lp, mask_t)
 
     _, (seq, seq_lp, masks) = jax.lax.scan(
-        step_fn, (state0, it0, unfinished0), step_keys)
+        step_fn, (state0, it0, unfinished0), step_keys,
+        unroll=_SCAN_UNROLL)
     aux = {"fc_emb": caux["fc_emb"], "cpt_feats": cpt_feats}
     return (seq.T, seq_lp.T, masks.T.astype(seq_lp.dtype), aux)
 
