@@ -30,6 +30,9 @@ from insenticap_model_tpu.config import Settings
 from insenticap_model_tpu.models import captioner as cap
 from insenticap_model_tpu.ops import beam
 
+pytestmark = pytest.mark.slow  # config sweep; fast-gate beam coverage
+                               # lives in test_inference/test_fused_topk
+
 V, M = 30, 5
 IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
 NEG_INF = beam.NEG_INF

@@ -91,6 +91,7 @@ def test_eval_metrics_table(tmp_path, monkeypatch, capsys):
         assert table[senti]["CIDEr-D"] > 0
 
 
+@pytest.mark.slow
 def test_caption_cli_end_to_end(tmp_path):
     """Cold-start serving: raw image file -> caption, through the real CLI
     composition (encoder -> concepts -> senti words -> detect -> beam)."""

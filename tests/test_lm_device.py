@@ -86,6 +86,7 @@ def test_device_reward_matches_host(lm_paths):
     np.testing.assert_array_equal(dev, host)
 
 
+@pytest.mark.slow
 def test_rl_step_lm_reward_changes_loss(lm_paths, settings):
     """Opt-in knob: with lm_flag > 0 the RL loss/rewards change; with the
     default (no tables) the step signature and numerics are unchanged."""

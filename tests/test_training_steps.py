@@ -237,6 +237,7 @@ def _tree_allclose(a, b, rtol=5e-3, atol=1e-4):
                                    rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(settings):
     """One XE step and one RL step with identical inputs/keys on an (8,)
     mesh vs a (1,) mesh: losses AND updated params must agree up to
@@ -286,6 +287,7 @@ def test_sharded_matches_single_device(settings):
     _tree_allclose(p8, p1)
 
 
+@pytest.mark.slow
 def test_model_sharded_matches_single_device(settings):
     """2-D data x model mesh: the captioner's vocab-dim params (embedding
     + classifier) sharded over the `model` axis, batch over `data`. The

@@ -55,6 +55,7 @@ def test_winograd_xla_matches_direct_f32(shape):
     (8, 10, 10, 32, 16),   # trimmed tiling (10 % 4 != 0)
     (8, 7, 9, 5, 4),       # odd extents, H != W
 ])
+@pytest.mark.slow
 def test_winograd_pallas_matches_direct_f32(shape):
     bsz, h, w, cin, cout = shape
     g = np.random.default_rng(0)
@@ -67,6 +68,7 @@ def test_winograd_pallas_matches_direct_f32(shape):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_winograd_pallas_f5_odd_extents():
     """The f5 tile variant on odd, non-square extents (7x9: th=tw=2 with
     trim on both dims) — the detector's 14x14 never exercises f5's
@@ -84,6 +86,7 @@ def test_winograd_pallas_f5_odd_extents():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_winograd_pallas_chained_spatial_major():
     """Two chained convs in the spatial-major layout (as the detector
     runs them) == two direct convs."""
@@ -210,6 +213,7 @@ def test_cook_toom_generator():
                                        err_msg=str((m, r)))
 
 
+@pytest.mark.slow
 def test_grad_path_never_takes_pallas(monkeypatch):
     """ADVICE r2 #1 regression: a bf16 TRAINING step on the sentiment
     detector (non-deterministic forward, eligible shapes) must route its
