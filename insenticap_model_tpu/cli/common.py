@@ -21,7 +21,6 @@ import numpy as np
 
 from ..config import Opts
 from ..data import collate
-from ..data.feature_store import open_store
 from ..data.loaders import Loader
 from ..models.captioner import TokenIds
 from ..parallel import mesh as pmesh

@@ -348,7 +348,6 @@ def test_j_serve_daemon_http(workdir):
     import socket
     import threading
 
-    import jax
     import numpy as np
 
     from insenticap_model_tpu.cli import serve as serve_cli

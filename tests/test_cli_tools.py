@@ -16,7 +16,6 @@ if os.path.isdir(REF) and REF not in sys.path:
 import torch  # noqa: E402
 
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 from insenticap_model_tpu.config import Settings  # noqa: E402
 

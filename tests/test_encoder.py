@@ -3,7 +3,6 @@ the reference's ResNet (torchvision semantics built from torch core — the
 image lacks torchvision), weights converted through convert_torch_state_dict.
 Covers SURVEY.md §7 hard part 5 (ceil-mode maxpool, moved strides, faithful
 conversion). Plus extract_imgs_feat end-to-end over PIL-decoded images."""
-import os
 
 import numpy as np
 import pytest

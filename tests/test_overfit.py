@@ -7,7 +7,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from insenticap_model_tpu import inference
 from insenticap_model_tpu.models import captioner as cap
 from insenticap_model_tpu.models import sent_senti_cls as ss_cls
 from insenticap_model_tpu.training import optim, steps

@@ -269,7 +269,7 @@ def test_criteria_parity():
 
 def test_ciderd_parity():
     from self_critical.cider.pyciderevalcap.ciderD.ciderD import CiderD as RefC
-    from insenticap_model_tpu.rewards.ciderd import (CiderD, build_scorer,
+    from insenticap_model_tpu.rewards.ciderd import (build_scorer,
                                                      seq_from_ids)
     g = np.random.default_rng(8)
     # corpus of 20 images x 5 refs in id space

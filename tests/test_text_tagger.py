@@ -12,7 +12,6 @@ rule-tagging vs gold-tagging.
 import json
 import os
 
-import pytest
 
 from insenticap_model_tpu import preprocessing as pp
 from insenticap_model_tpu import text

@@ -279,7 +279,6 @@ def attention():
     att_q, att_s = quant(att_f)
     patt_q, patt_s = quant(patt_f)
 
-    from insenticap_model_tpu.ops import fused_attention as fa
 
     def _kernel_i8(h_ref, pattq_ref, patts_ref, attq_ref, atts_ref,
                    w_ref, b_ref, aw_ref, out_ref, *, B, TB):

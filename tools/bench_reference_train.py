@@ -17,7 +17,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ref_common import (SENTI_CATS, SETTINGS, T, VOCAB,  # noqa: E402
+from ref_common import (SENTI_CATS, SETTINGS, VOCAB,  # noqa: E402
                         add_ref_path, clip_gradient, idx2word, synth_caps)
 
 add_ref_path()

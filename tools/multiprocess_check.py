@@ -66,7 +66,6 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
     from insenticap_model_tpu.models import sent_senti_cls as ss_cls
     from insenticap_model_tpu.parallel import mesh as pmesh
     from insenticap_model_tpu.training import optim, steps
-    from jax.sharding import PartitionSpec as P
 
     n_dev = int(np.prod(mesh_shape)) if mesh_shape else 2
     assert jax.device_count() == n_dev, jax.devices()
