@@ -21,6 +21,8 @@ import numpy as np
 
 from ..config import Opts
 from ..data import collate
+from ..data.feature_store import open_store  # noqa: F401 (re-export:
+#   the train/eval CLIs open stores as common.open_store)
 from ..data.loaders import Loader
 from ..models.captioner import TokenIds
 from ..parallel import mesh as pmesh
