@@ -424,3 +424,29 @@ def test_j_serve_daemon_http(workdir):
         srv.app.close()
         srv.server_close()
         t.join(timeout=30)
+
+
+def test_k_serve_cli_mesh_wiring(workdir):
+    """serve.py --mesh_shape wiring: multi-axis shapes are rejected
+    before any model load, and a 1-D mesh adapts the DEFAULT bucket
+    ladder to data-axis multiples (bucket 1 can't shard 8 ways)."""
+    import pytest
+
+    from insenticap_model_tpu.cli import serve as serve_cli
+
+    rl_ck = "checkpoint/rl/coco/part/model_0.ckpt"
+    cpt_ck = sorted(glob.glob("checkpoint/concept/coco/model_*.ckpt"))[-1]
+    base = ["--rl_model", rl_ck, "--concept_model", cpt_ck,
+            "--sentiment_detector_json",
+            "data/corpus/part/sentiment_detector.json"]
+
+    a = serve_cli.build_parser().parse_args(base + ["--mesh_shape", "[2,2]"])
+    with pytest.raises(SystemExit, match="must be 1-D"):
+        serve_cli.ServeApp(a)
+
+    a = serve_cli.build_parser().parse_args(base + ["--mesh_shape", "[8]"])
+    app = serve_cli.ServeApp(a)
+    try:
+        assert app.batcher._buckets == (8, 32, 128, 384)
+    finally:
+        app.close()
