@@ -31,6 +31,8 @@ random-weight figure).
 """
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -64,14 +66,27 @@ def _reference_cps() -> tuple:
         return 1.15, "torch-cpu measured (1 thread, cached 2026-08-16)"
 
 
+def _failure_record(reason: str, waited_s: float) -> dict:
+    """A parseable failure line: the driver records SOMETHING labeled
+    instead of rc=124 with no output (the round-3 outage mode)."""
+    return {
+        "metric": "senticap_captions_per_sec_per_chip_beam3",
+        "value": None,
+        "unit": "captions/s",
+        "vs_baseline": None,
+        "error": reason,
+        "waited_s": round(waited_s, 1),
+        "backend": "unavailable",
+    }
+
+
 def _wait_for_backend(budget_s: float) -> bool:
     """The tunneled TPU backend can be transiently UNAVAILABLE for long
     stretches (observed: `jax.devices()` hangs or raises UNAVAILABLE,
     then recovers). Probe in fresh subprocesses — a failed init poisons
     the in-process backend cache — until one answers or the budget runs
-    out; then proceed either way (a real failure still surfaces)."""
+    out."""
     import subprocess
-    import sys
     deadline = time.monotonic() + budget_s
     while True:
         try:
@@ -86,8 +101,34 @@ def _wait_for_backend(budget_s: float) -> bool:
         time.sleep(30)
 
 
+def _arm_watchdog(budget_s: float, t_start: float) -> threading.Timer:
+    """Hard bound on total runtime: even after a successful probe the
+    tunnel can die mid-run and hang any device call indefinitely
+    (block_until_ready/transfer never return). When the budget expires,
+    print the labeled failure line and force-exit — a daemon Timer plus
+    os._exit is the only reliable escape from a wedged runtime thread."""
+    def _expire():
+        rec = _failure_record("bench_total_budget_expired",
+                              time.monotonic() - t_start)
+        print(json.dumps(rec), flush=True)
+        os._exit(3)
+    t = threading.Timer(budget_s, _expire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
-    _wait_for_backend(float(os.environ.get("ISC_BENCH_INIT_WAIT_S", "900")))
+    t_start = time.monotonic()
+    ok = _wait_for_backend(
+        float(os.environ.get("ISC_BENCH_INIT_WAIT_S", "900")))
+    if not ok:
+        print(json.dumps(_failure_record("backend_unavailable_after_wait",
+                                         time.monotonic() - t_start)),
+              flush=True)
+        sys.exit(2)
+    watchdog = _arm_watchdog(
+        float(os.environ.get("ISC_BENCH_TOTAL_BUDGET_S", "2400")), t_start)
     settings = Settings()
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = inference.ServingParams(
@@ -161,6 +202,7 @@ def main():
     if os.environ.get("ISC_BENCH_CALIBRATED") == "1":
         record["decode_length_sweep"] = _decode_length_sweep(
             params, fc, att, sentis, bs, iters)
+    watchdog.cancel()
     print(json.dumps(record))
 
 
