@@ -69,13 +69,14 @@ def compute_metrics(result_prefix: str, data_type: str,
         table[senti] = {
             "Bleu-1": bleu[0] * 100, "Bleu-2": bleu[1] * 100,
             "Bleu-3": bleu[2] * 100, "Bleu-4": bleu[3] * 100,
-            # "METEOR" with WordNet data present (full Meteor 1.5 'en'
-            # stages); "METEOR*" when degraded to exact+stem
+            # always "METEOR*": paraphrase stage absent + stand-in
+            # function words — not interchangeable with coco-caption
+            # METEOR (meteor.mode says which stages were active)
             meteor.name: m_score * 100,
             "CIDEr-D": c_score * 100, "n": len(res),
         }
 
-    meteor_col = meteor.name if meteor is not None else "METEOR"
+    meteor_col = meteor.name if meteor is not None else "METEOR*"
     metrics = ["Bleu-1", "Bleu-2", "Bleu-3", "Bleu-4", meteor_col,
                "CIDEr-D"]
     header = "Metric    " + "".join(f"{s:>12}" for s in table)
@@ -84,6 +85,8 @@ def compute_metrics(result_prefix: str, data_type: str,
         print(f"{m:<10}" + "".join(f"{table[s][m]:>12.1f}" for s in table))
     print("n         " + "".join(f"{int(table[s]['n']):>12}"
                                  for s in table))
+    if meteor is not None:
+        print(f"# METEOR* is NOT coco-caption METEOR ({meteor.mode})")
     return table
 
 

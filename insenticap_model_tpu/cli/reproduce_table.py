@@ -230,7 +230,9 @@ def _print_section6(table: dict) -> None:
         sentis = sorted(d["quality"])
         if not sentis:
             continue
-        # METEOR when WordNet data was present, METEOR* otherwise
+        # always METEOR* now (never interchangeable with coco-caption
+        # METEOR — see rewards/meteor.py); "METEOR" branch only for
+        # tables serialized by pre-r4 builds
         meteor_col = ("METEOR" if "METEOR" in d["quality"][sentis[0]]
                       else "METEOR*")
         rows = ("Bleu-1", "Bleu-3", meteor_col, "CIDEr-D", "ppl", "cls(%)")

@@ -23,13 +23,25 @@ two words are synonyms when their index entries share a synset offset).
 Without WordNet data the scorer degrades to the exact+stem stages and
 labels itself METEOR* (``Meteor().name``).
 
+Alignment: the EXACT Meteor resolution criteria (Denkowski & Lavie
+2014, §2.1) — each word covered by at most one match; maximize covered
+words; then minimize number of chunks; then minimize the sum of absolute
+start-position offsets — solved exactly by a pruned lexicographic search
+(caption-scale sentences; a Meteor-style beam fallback guards
+adversarial inputs, see ``_align``). Meteor's own resolver is a beam
+search over the same criteria, so this is at least as faithful to the
+published definition as the Java tool. The retired greedy stage-order
+aligner is kept as ``_align_greedy`` for the divergence oracle test.
+
 Known divergences from the Java Meteor 1.5 (documented, not silent):
-the alignment is greedy-in-stage-order rather than Meteor's beam search
-(ties broken differently on pathological inputs), the paraphrase stage
-is absent, and the built-in function-word list is a standard English
-closed-class list rather than Meteor's corpus-frequency-derived
+the paraphrase stage is absent (needs Meteor's non-redistributable
+paraphrase table), and the built-in function-word list is a standard
+English closed-class list rather than Meteor's corpus-frequency-derived
 ``function.words`` (pass ``function_words=`` to substitute the official
-list for exact parity).
+list). Because of these, the scorer ALWAYS labels itself METEOR* —
+values are close to but not interchangeable with coco-caption METEOR
+(per advisor guidance r3). ``Meteor().mode`` says which stages were
+active so runs on different hosts are comparable.
 """
 from __future__ import annotations
 
@@ -135,13 +147,139 @@ def find_wordnet_dir() -> Optional[str]:
     return None
 
 
+def _candidate_matches(hyp: Sequence[str], ref: Sequence[str],
+                       hyp_stems: Sequence[str], ref_stems: Sequence[str],
+                       wordnet: Optional[WordNetSynonyms]
+                       ) -> List[List[Tuple[int, float]]]:
+    """Per-hyp-position candidate list [(ref_j, stage_weight)]. When a
+    pair matches several stages, module precedence applies (exact, then
+    stem, then synonym — Meteor's matcher keeps the earliest module)."""
+    cand: List[List[Tuple[int, float]]] = [[] for _ in hyp]
+    for i, (w, s) in enumerate(zip(hyp, hyp_stems)):
+        row = cand[i]
+        for j, (rw, rs) in enumerate(zip(ref, ref_stems)):
+            if w == rw:
+                row.append((j, W_EXACT))
+            elif s == rs:
+                row.append((j, W_STEM))
+            elif wordnet is not None and wordnet.are_synonyms(w, rw):
+                row.append((j, W_SYN))
+    return cand
+
+
+# DFS node budget before falling back to the beam resolver. Natural
+# caption pairs resolve in <1k nodes; only adversarial repetition
+# patterns approach this.
+_MAX_NODES = 200_000
+_BEAM = 40  # Meteor 1.5's own resolver beam width
+
+
 def _align(hyp: Sequence[str], ref: Sequence[str],
            hyp_stems: Sequence[str], ref_stems: Sequence[str],
            wordnet: Optional[WordNetSynonyms]
            ) -> List[Tuple[int, int, float]]:
-    """Greedy staged alignment (exact, then stems, then synonyms). Each
-    hyp/ref token is used at most once. Returns [(hyp_i, ref_j,
-    stage_weight)] sorted by hyp index."""
+    """Meteor 1.5 alignment resolution (Denkowski & Lavie 2014 §2.1),
+    solved EXACTLY: among one-to-one match sets, lexicographically
+    (1) maximize covered words, (2) minimize chunks, (3) minimize the
+    sum of |hyp_i - ref_j| start-position offsets. Pruned DFS over hyp
+    positions — all three key components are monotone along a path, so
+    componentwise lower bounds prune lexicographically. Falls back to a
+    Meteor-style width-40 beam over the same key if the node budget is
+    hit (adversarial inputs only). Returns [(hyp_i, ref_j, stage_weight)]
+    sorted by hyp index."""
+    cand = _candidate_matches(hyp, ref, hyp_stems, ref_stems, wordnet)
+    n = len(hyp)
+    # suffix count of hyp positions that have at least one candidate:
+    # an upper bound on matches still addable from position i onward
+    # (ignores ref conflicts — still a valid bound).
+    suffix = [0] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        suffix[i] = suffix[i + 1] + (1 if cand[i] else 0)
+
+    best_key = (1, 0, 0)  # worse than any real alignment (m >= 0)
+    best_matches: List[Tuple[int, int, float]] = []
+    nodes = 0
+
+    # state: (i, used ref bitmask, m, chunks, dist, last (li,lj) or None)
+    def dfs(i, used, m, chunks, dist, last, matches):
+        nonlocal best_key, best_matches, nodes
+        nodes += 1
+        if nodes > _MAX_NODES:
+            raise _NodeBudget()
+        if i == n:
+            key = (-m, chunks, dist)
+            if key < best_key:
+                best_key = key
+                best_matches = list(matches)
+            return
+        lb = (-(m + suffix[i]), chunks, dist)
+        if lb >= best_key:
+            return
+        # try matches first (better incumbents earlier); prefer the
+        # chunk-extending candidate, then small offsets
+        row = cand[i]
+        if row:
+            lj = last[1] if last is not None and last[0] == i - 1 else None
+            order = sorted(
+                range(len(row)),
+                key=lambda k: (row[k][0] != (lj + 1 if lj is not None
+                                             else -10**9),
+                               abs(i - row[k][0])))
+            for k in order:
+                j, w = row[k]
+                if used >> j & 1:
+                    continue
+                nchunks = chunks + (0 if (last is not None
+                                          and last == (i - 1, j - 1))
+                                    else 1)
+                matches.append((i, j, w))
+                dfs(i + 1, used | (1 << j), m + 1, nchunks,
+                    dist + abs(i - j), (i, j), matches)
+                matches.pop()
+        dfs(i + 1, used, m, chunks, dist, last, matches)
+
+    try:
+        dfs(0, 0, 0, 0, 0, None, [])
+        return best_matches
+    except _NodeBudget:
+        return _align_beam(cand, n)
+
+
+class _NodeBudget(Exception):
+    pass
+
+
+def _align_beam(cand: List[List[Tuple[int, float]]], n: int
+                ) -> List[Tuple[int, int, float]]:
+    """Width-40 beam over the same lexicographic key — what the Java
+    Meteor resolver itself does; only reached on adversarial inputs."""
+    # state: (key, used, last, matches)
+    states = [((0, 0, 0), 0, None, [])]
+    for i in range(n):
+        nxt = []
+        for (negm, chunks, dist), used, last, matches in states:
+            nxt.append(((negm, chunks, dist), used, last, matches))
+            for j, w in cand[i]:
+                if used >> j & 1:
+                    continue
+                nchunks = chunks + (0 if (last is not None
+                                          and last == (i - 1, j - 1))
+                                    else 1)
+                nxt.append(((negm - 1, nchunks, dist + abs(i - j)),
+                            used | (1 << j), (i, j),
+                            matches + [(i, j, w)]))
+        nxt.sort(key=lambda s: s[0])
+        states = nxt[:_BEAM]
+    return states[0][3]
+
+
+def _align_greedy(hyp: Sequence[str], ref: Sequence[str],
+                  hyp_stems: Sequence[str], ref_stems: Sequence[str],
+                  wordnet: Optional[WordNetSynonyms]
+                  ) -> List[Tuple[int, int, float]]:
+    """RETIRED greedy stage-order aligner (exact stage fully, then stems,
+    then synonyms, first-unused-ref wins). Kept only for the oracle test
+    that quantifies its divergence from the exact resolver."""
     ref_used = [False] * len(ref)
     hyp_matched: List[Optional[Tuple[int, float]]] = [None] * len(hyp)
 
@@ -213,8 +351,12 @@ class Meteor:
     """coco-caption-shaped API: compute_score(gts, res) -> (mean, scores).
 
     wordnet_dir: explicit WordNet db dir; by default auto-discovered via
-    find_wordnet_dir(). ``name`` is "METEOR" when the synonym stage is
-    active, "METEOR*" when degraded to exact+stem."""
+    find_wordnet_dir(). ``name`` is ALWAYS "METEOR*": even with the
+    synonym stage active, the paraphrase stage is absent and the
+    function-word list is a stand-in, so values are not interchangeable
+    with coco-caption METEOR (advisor r3) — tables must not invite that
+    comparison. ``mode`` records which stages were active so results
+    from different hosts are comparable."""
 
     def __init__(self, wordnet_dir: Optional[str] = None,
                  function_words: Optional[Set[str]] = FUNCTION_WORDS):
@@ -224,7 +366,17 @@ class Meteor:
 
     @property
     def name(self) -> str:
-        return "METEOR" if self.wordnet is not None else "METEOR*"
+        return "METEOR*"
+
+    @property
+    def mode(self) -> str:
+        """One-line provenance: active match stages + word-list source."""
+        stages = "exact+stem" + ("+syn" if self.wordnet is not None else "")
+        fw = ("none" if self.function_words is None else
+              "builtin" if self.function_words is FUNCTION_WORDS else
+              "custom")
+        return (f"stages={stages}, no-paraphrase, function_words={fw}, "
+                f"aligner=exact-meteor-criteria")
 
     def compute_score(self, gts: Dict, res: List[Dict]):
         scores = [score_sentence(item["caption"][0],

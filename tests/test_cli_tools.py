@@ -228,7 +228,9 @@ def test_meteor_synonym_stage(tmp_path):
     assert with_syn < exact                               # w=0.8 < 1.0
 
     m = Meteor(wordnet_dir=str(wn))
-    assert m.name == "METEOR"
+    # name is ALWAYS METEOR* (no-paraphrase + stand-in function words);
+    # mode records that the synonym stage was active
+    assert m.name == "METEOR*" and "+syn" in m.mode
     mean, _ = m.compute_score({"i": [ref]},
                               [{"image_id": "i", "caption": [tuple(hyp)]}])
     assert mean == pytest.approx(with_syn)
@@ -239,3 +241,79 @@ def test_meteor_degrades_without_wordnet(monkeypatch):
     monkeypatch.setattr(M, "find_wordnet_dir", lambda: None)
     m = M.Meteor()
     assert m.name == "METEOR*" and m.wordnet is None
+
+
+def _oracle_align_key(cand, n_hyp, n_ref):
+    """Brute-force Meteor resolution oracle: enumerate EVERY one-to-one
+    match set over the candidate lists and return the lexicographically
+    best (-matches, chunks, sum|i-j|) key. Independent of the production
+    DFS — a plain product over per-position choices, no pruning."""
+    import itertools
+    best = (1, 0, 0)
+    # choice per hyp position: one of its candidate refs, or None
+    options = [[None] + [j for j, _ in cand[i]] for i in range(n_hyp)]
+    for pick in itertools.product(*options):
+        used = [j for j in pick if j is not None]
+        if len(set(used)) != len(used):
+            continue  # not one-to-one on ref side
+        pairs = [(i, j) for i, j in enumerate(pick) if j is not None]
+        m = len(pairs)
+        chunks = sum(1 for k, (i, j) in enumerate(pairs)
+                     if k == 0 or pairs[k - 1] != (i - 1, j - 1))
+        dist = sum(abs(i - j) for i, j in pairs)
+        key = (-m, chunks, dist)
+        if key < best:
+            best = key
+    return best
+
+
+def _align_key(align):
+    m = len(align)
+    chunks = sum(1 for k, (i, j, _) in enumerate(align)
+                 if k == 0 or (align[k - 1][0], align[k - 1][1])
+                 != (i - 1, j - 1))
+    return (-m, chunks, sum(abs(i - j) for i, j, _ in align))
+
+
+def test_meteor_align_exact_vs_bruteforce_oracle():
+    """VERDICT r3 #4: the production aligner must realize EXACTLY the
+    Meteor 1.5 resolution criteria (max matches, then min chunks, then
+    min total offset). Property-tested against a no-pruning brute-force
+    oracle over random repetition-heavy pairs; also quantifies how often
+    the retired greedy stage-order aligner diverged (must be >0 — that
+    divergence is why it was retired)."""
+    import random
+    from insenticap_model_tpu.rewards.meteor import (
+        _align, _align_greedy, _candidate_matches, _stem)
+
+    rng = random.Random(0)
+    # tiny vocab with stem-collision pairs ("run"/"runs") to force
+    # multi-stage, multi-candidate alignments with repeats
+    vocab = ["a", "the", "dog", "dogs", "run", "runs", "park",
+             "cat", "big", "sits"]
+    greedy_diverged = 0
+    trials = 300
+    for _ in range(trials):
+        hyp = [rng.choice(vocab) for _ in range(rng.randint(1, 6))]
+        ref = [rng.choice(vocab) for _ in range(rng.randint(1, 6))]
+        hs, rs = [_stem(w) for w in hyp], [_stem(w) for w in ref]
+        cand = _candidate_matches(hyp, ref, hs, rs, None)
+        oracle = _oracle_align_key(cand, len(hyp), len(ref))
+        got = _align_key(_align(hyp, ref, hs, rs, None))
+        assert got == oracle, (hyp, ref, got, oracle)
+        if _align_key(_align_greedy(hyp, ref, hs, rs, None)) != oracle:
+            greedy_diverged += 1
+    # the retired aligner really was wrong on a measurable fraction
+    assert greedy_diverged > 0
+
+
+def test_meteor_align_beam_fallback(monkeypatch):
+    """Node-budget exhaustion falls back to the width-40 beam (what Java
+    Meteor itself uses) and still returns a full-coverage alignment on
+    the worst case for DFS: all-identical tokens."""
+    from insenticap_model_tpu.rewards import meteor as M
+    hyp = ["dog"] * 12
+    ref = ["dog"] * 12
+    monkeypatch.setattr(M, "_MAX_NODES", 50)
+    align = M._align(hyp, ref, hyp, ref, None)
+    assert _align_key(align) == (-12, 1, 0)  # identity = 1 chunk, 0 dist
