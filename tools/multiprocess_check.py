@@ -35,8 +35,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-V, T, BS_LOCAL = 30, 8, 2     # per-process batch; global = BS_LOCAL * 2
-N_ITEMS = 12
+V, T, BS_LOCAL = 30, 8, 2     # per-process batch; global = BS_LOCAL * n_data
+N_ITEMS = 16                  # >= 8-wide data axis * BS_LOCAL (drop_last)
 
 
 def _free_port() -> int:
@@ -67,12 +67,12 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
     from insenticap_model_tpu.parallel import mesh as pmesh
     from insenticap_model_tpu.training import optim, steps
 
-    n_dev = int(np.prod(mesh_shape)) if mesh_shape else 2
+    n_dev = int(np.prod(mesh_shape))
     assert jax.device_count() == n_dev, jax.devices()
     settings = Settings(word_emb_dim=16, fc_feat_dim=32, att_feat_dim=32,
                         feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
                         concept_mid_dim=24)
-    mesh = pmesh.make_mesh(mesh_shape)     # (2,) data / (2,2) data x model
+    mesh = pmesh.make_mesh(mesh_shape)   # (n,) data / (n//2,2) data x model
     n_data = int(mesh.shape.get("data", n_dev))
     model_sharded = int(mesh.shape.get("model", 1)) > 1
     g = np.random.default_rng(0)
@@ -231,17 +231,20 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
         print("wrote", out_path, result, flush=True)
 
 
-def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False) -> dict:
+def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False,
+           nprocs: int = 0) -> dict:
     """Spawn the multi-process run + the single-process control; return
     both results. Each subprocess gets a scrubbed CPU env with ONE local
     device (workers) / all-virtual devices (single).
 
-    tp=False: 2 processes, (2,) data mesh (replicated params, gradient
-    all-reduce across processes).
-    tp=True: 4 processes, (2, 2) data x model mesh — the model axis
-    CROSSES processes, exercising vocab-sharded embedding/classifier
-    collectives over the inter-process backend AND the per-data-group
-    loader striping (host_shard(mesh))."""
+    tp=False: nprocs (default 2) processes, (nprocs,) data mesh
+    (replicated params, gradient all-reduce across processes).
+    tp=True: nprocs (default 4) processes, (nprocs//2, 2) data x model
+    mesh — the model axis CROSSES processes, exercising vocab-sharded
+    embedding/classifier collectives over the inter-process backend AND
+    the per-data-group loader striping (host_shard(mesh)).
+    nprocs=8 executes the full 8-wide story ((8,) dp / (4,2) dp x tp)
+    with REAL processes rather than virtual devices (VERDICT r3 #6)."""
     os.makedirs(tmpdir, exist_ok=True)
     here = os.path.abspath(__file__)
     root = os.path.dirname(os.path.dirname(here))
@@ -254,7 +257,9 @@ def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False) -> dict:
         return e
 
     tag = "tp" if tp else "dp"
-    nprocs = 4 if tp else 2
+    nprocs = nprocs or (4 if tp else 2)
+    assert (nprocs % 2 == 0) if tp else nprocs >= 2
+    tag = f"{tag}{nprocs}"
     mp_out = os.path.join(tmpdir, f"mp_{tag}.json")
     sp_out = os.path.join(tmpdir, f"sp_{tag}.json")
 
@@ -273,7 +278,7 @@ def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False) -> dict:
              tag, str(nprocs)],
             env=env(1)) for pid in range(nprocs)]
         procs.append(subprocess.Popen(
-            [sys.executable, here, "single", sp_out, tag],
+            [sys.executable, here, "single", sp_out, tag, str(nprocs)],
             env=env(nprocs)))
         try:
             rcs = [p.wait(timeout=600) for p in procs]
@@ -296,7 +301,7 @@ def launch(tmpdir: str = "/tmp/isc_mp_check", tp: bool = False) -> dict:
 
 
 def _mesh_shape(tag: str, nprocs: int):
-    return (nprocs // 2, 2) if tag == "tp" else None
+    return (nprocs // 2, 2) if tag.startswith("tp") else (nprocs,)
 
 
 def compare(res: dict, nprocs: int) -> None:
@@ -326,17 +331,17 @@ def main():
              port=int(sys.argv[4]), mesh_shape=_mesh_shape(tag, nprocs))
     elif mode == "single":
         tag = sys.argv[3] if len(sys.argv) > 3 else "dp"
-        nprocs = 4 if tag == "tp" else 2
+        nprocs = int(sys.argv[4]) if len(sys.argv) > 4 \
+            else (4 if tag.startswith("tp") else 2)
         _run(nprocs, sys.argv[2], distributed=False,
              mesh_shape=_mesh_shape(tag, nprocs))
     else:
-        res = launch()
-        compare(res, 2)
-        print("OK: 2-process striped XE step == single-process", res)
-        res = launch(tp=True)
-        compare(res, 4)
-        print("OK: 4-process (2,2) data x model XE step == single-process",
-              res)
+        for tp, n in ((False, 2), (True, 4), (False, 8), (True, 8)):
+            res = launch(tp=tp, nprocs=n)
+            compare(res, n)
+            shape = _mesh_shape("tp" if tp else "dp", n)
+            print(f"OK: {n}-process {shape} XE step == single-process",
+                  res)
 
 
 if __name__ == "__main__":
