@@ -11,29 +11,45 @@ compile per bucket, full-batch beam search per dispatch).
 
     python serve.py --rl_model checkpoint/rl/coco/part/model-best.ckpt \\
         --concept_model checkpoint/concept/coco/model-best.ckpt \\
-        [--resnet101_ckpt resnet101.ckpt] [--port 8500] [--warm]
+        [--resnet101_ckpt resnet101.ckpt --image_root /data/imgs] \\
+        [--port 8500] [--warm]
 
 Endpoints (JSON over HTTP):
   POST /caption   {"fc": [...], "att": [[[...]]],          feature mode
                    "sentiment": "auto"|"positive"|...}
-                  {"image_path": "/path/img.jpg", ...}     image mode
-                                        (needs --resnet101_ckpt)
+                  {"image_b64": "<base64 jpeg/png>", ...}  image mode
+                  {"image_path": "/root/img.jpg", ...}     image mode,
+                                   needs --resnet101_ckpt; image_path
+                                   additionally needs --image_root
                -> {"caption", "sentiment", "score", "concepts"}
-  GET  /stats  -> batcher dispatch statistics
+  GET  /stats  -> decode-batcher stats (+"encode": encode-batcher stats)
   GET  /healthz-> {"ok": true}
 
 Feature mode serves fc/att rows straight from a feature store (the
-reference's h5 contract); image mode runs decode->resize->encoder per
-request on the shared bucket ladder. The decode stage is the batched hot
-path either way; concept top-k and the encoder run per request.
+reference's h5 contract); image mode decodes + resizes host-side onto
+the static shape ladder, then rides ``serving_daemon.EncodeBatcher``:
+concurrent images coalesce per resize bucket into batched encoder
+forwards with the concept top-k on the same batch (never bs=1 — the two
+batchers form an encode→decode pipeline, each HTTP thread carrying its
+request through both stages). Feature-mode concept top-k batches
+through the same encode batcher.
+
+Security posture (advisor r3): request bodies are size-capped (413 past
+--max_body_mb); image_path is DISABLED unless --image_root is set, and
+then confined to that directory by realpath prefix — remote clients of
+a non-loopback daemon can otherwise probe arbitrary readable files.
+image_b64 needs no filesystem trust at all.
 """
 from __future__ import annotations
 
 import argparse
+import base64
 import json
+import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import preprocessing, serving_daemon
@@ -50,6 +66,12 @@ def build_parser():
     p.add_argument("--concept_model", type=str, required=True)
     p.add_argument("--resnet101_ckpt", type=str, default="",
                    help="converted encoder checkpoint; enables image mode")
+    p.add_argument("--image_root", type=str, default="",
+                   help="directory that image_path requests are confined "
+                        "to (realpath prefix). UNSET = image_path mode "
+                        "disabled (clients send image_b64 instead); never "
+                        "expose a path-mode daemon on a non-loopback host "
+                        "without this")
     p.add_argument("--sentiment_detector_json", type=str,
                    default="./data/corpus/part/sentiment_detector.json")
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -64,11 +86,23 @@ def build_parser():
                         "ladder rounds each bucket up to a multiple of the "
                         "data-axis size; explicit values must already be "
                         "multiples)")
+    p.add_argument("--enc_bucket_sizes", type=str, default="",
+                   help="encode-stage batch ladder, default [1,4,16,32]; "
+                        "one XLA compile per (resize-shape, batch) pair")
+    p.add_argument("--image_buckets", type=str, default="",
+                   help="resize-shape ladder for image mode as JSON "
+                        "[[h,w],...], default the production "
+                        "DEFAULT_BUCKET_SHAPES (must match the ladder the "
+                        "feature store was extracted with for "
+                        "store-consistent captions)")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--queue_timeout_ms", type=float, default=100.0,
                    help="how long a request waits for queue space when "
                         "the daemon is saturated before it is shed with "
                         "HTTP 503")
+    p.add_argument("--max_body_mb", type=float, default=64.0,
+                   help="reject request bodies above this with 413 before "
+                        "reading (a full fc+att JSON payload is ~5 MB)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = the measured TPU serving policy; "
@@ -83,6 +117,25 @@ def build_parser():
                         "traffic (first full-size TPU compile is "
                         "minutes-slow)")
     return p
+
+
+def _load_encoder(resnet101_ckpt: str, compute_dtype: str):
+    """Converted-ResNet checkpoint -> jitted raw-uint8 batch apply
+    (uint8 [B,H,W,3] -> (fc [B,2048], att [B,14,14,2048])). Separate
+    function so tests can substitute a settings-matched tiny encoder."""
+    enc_params, _, _ = ckpt.load(
+        resnet101_ckpt, enc.init_params(jax.random.PRNGKey(3)))
+    if compute_dtype == "bfloat16":
+        # forward_raw_batch computes in the params' dtype; bf16 here =
+        # the measured encoder serving policy (tools/bench_encoder.py).
+        # EncodeBatcher hands results back as f32.
+        enc_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else x, enc_params)
+    # raw-uint8 path: normalize folded into conv1, 4x fewer
+    # host->device bytes than shipping float pixels
+    return jax.jit(lambda x, p=enc_params: enc.forward_raw_batch(p, x))
 
 
 class ServeApp:
@@ -117,54 +170,68 @@ class ServeApp:
         self.num_concepts = a.num_concepts
         self.num_sentiments = a.num_sentiments
         self.queue_timeout_s = a.queue_timeout_ms / 1e3
+        self.image_root = os.path.realpath(a.image_root) \
+            if a.image_root else None
+        self.image_shapes = (tuple(
+            (int(h), int(w)) for h, w in json.loads(a.image_buckets))
+            if a.image_buckets else preprocessing.DEFAULT_BUCKET_SHAPES)
 
         self.cpt_params, self.idx2concept = common.load_concept_model(
             a.concept_model)
-        self._cpt_sample = jax.jit(
-            lambda p, fc: cpt_det.sample(p, fc, self.num_concepts)[1])
+        # f32 scoring regardless of the serving dtype (top-k order is
+        # the product; bf16 fc rows from the encoder cast up here)
+        cpt_apply = jax.jit(
+            lambda fc: cpt_det.sample(self.cpt_params,
+                                      fc.astype(jnp.float32),
+                                      self.num_concepts)[1])
+
+        enc_apply = _load_encoder(a.resnet101_ckpt, a.compute_dtype) \
+            if a.resnet101_ckpt else None
+        # the encode batcher exists even without an encoder: feature-mode
+        # concept top-k batches through it instead of running bs=1
+        self.enc_batcher = serving_daemon.EncodeBatcher(
+            enc_apply, cpt_apply, fc_dim=settings.fc_feat_dim,
+            shape_buckets=self.image_shapes,
+            batch_buckets=(tuple(json.loads(a.enc_bucket_sizes))
+                           if a.enc_bucket_sizes
+                           else serving_daemon.DEFAULT_ENCODE_BUCKETS),
+            max_wait_s=a.max_wait_ms / 1e3)
         with open(a.sentiment_detector_json) as f:
             self.senti_table = json.load(f)
-
-        self.enc_params = None
-        if a.resnet101_ckpt:
-            self.enc_params, _, _ = ckpt.load(
-                a.resnet101_ckpt, enc.init_params(jax.random.PRNGKey(3)))
-            # raw-uint8 path: normalize folded into conv1, 4x fewer
-            # host->device bytes than shipping float pixels
-            self._enc_raw = jax.jit(
-                lambda p, x: enc.forward_raw_batch(p, x))
         if a.warm:
             self.batcher.warm()
-            if self.enc_params is not None:
-                # encoder shapes are bounded by the resize ladder, so
-                # they CAN be pre-compiled (one program per bucket)
-                for hb, wb in preprocessing.DEFAULT_BUCKET_SHAPES:
-                    fc, _ = self._enc_raw(
-                        self.enc_params,
-                        np.zeros((1, hb, wb, 3), np.uint8))
-                    np.asarray(fc.sum())       # force-complete (scalar)
+            self.enc_batcher.warm()
 
     # -- request path -----------------------------------------------------
 
-    def _features(self, payload):
-        if "fc" in payload:
-            return (np.asarray(payload["fc"], np.float32),
-                    np.asarray(payload["att"], np.float32))
+    def _load_image_u8(self, payload) -> np.ndarray:
+        """Decode the request's image to uint8 RGB. image_b64 carries the
+        pixels in-band; image_path is confined to --image_root (realpath
+        prefix — no daemon should open arbitrary client-named files,
+        advisor r3)."""
+        b64 = payload.get("image_b64")
+        if b64 is not None:
+            try:
+                data = base64.b64decode(b64, validate=True)
+                arr = preprocessing.load_image_bytes(data)
+            except Exception:
+                raise ValueError("image_b64 did not decode to an image")
+            return preprocessing.to_rgb_uint8(arr)
         path = payload.get("image_path")
         if not path:
-            raise ValueError("need 'fc'+'att' or 'image_path'")
-        if self.enc_params is None:
-            raise ValueError("image mode needs --resnet101_ckpt")
-        # static shape ladder: arbitrary client image sizes resize to one
-        # of DEFAULT_BUCKET_SHAPES, so the encoder compiles O(#buckets)
-        # programs, never per distinct image shape (a full-size compile
-        # is minutes-slow — an unbounded daemon cannot afford per-shape)
-        u8 = preprocessing.to_rgb_uint8(preprocessing.load_image(path))
-        bucket = preprocessing.bucket_for_shape(
-            *u8.shape[:2], preprocessing.DEFAULT_BUCKET_SHAPES)
-        x = preprocessing.resize_to_bucket(u8, bucket)
-        fc, att = self._enc_raw(self.enc_params, x[None])
-        return np.asarray(fc)[0], np.asarray(att)[0]
+            raise ValueError("need 'fc'+'att', 'image_b64', or "
+                             "'image_path'")
+        if self.image_root is None:
+            raise ValueError("image_path mode is disabled: start the "
+                             "daemon with --image_root, or send "
+                             "image_b64")
+        real = os.path.realpath(path)
+        if real != self.image_root and \
+                not real.startswith(self.image_root + os.sep):
+            # uniform message BEFORE any filesystem access: out-of-root
+            # probes learn nothing about what exists there
+            raise ValueError("image_path outside --image_root")
+        return preprocessing.to_rgb_uint8(preprocessing.load_image(real))
 
     def handle_caption(self, payload: dict) -> dict:
         timeout = payload.get("timeout", 300.0)
@@ -173,8 +240,23 @@ class ServeApp:
         except (TypeError, ValueError):
             raise ValueError(f"bad timeout {timeout!r}")
 
-        fc, att = self._features(payload)
-        top = np.asarray(self._cpt_sample(self.cpt_params, fc[None]))[0]
+        if "fc" in payload:
+            fc = np.asarray(payload["fc"], np.float32)
+            att = np.asarray(payload["att"], np.float32)
+            top = self.enc_batcher.submit_fc(
+                fc, timeout=timeout, enqueue_timeout=self.queue_timeout_s)
+        else:
+            # static shape ladder: arbitrary client image sizes resize to
+            # one of DEFAULT_BUCKET_SHAPES, so the encoder compiles
+            # O(#buckets) programs, never per distinct image shape (a
+            # full-size compile is minutes-slow — an unbounded daemon
+            # cannot afford per-shape)
+            u8 = self._load_image_u8(payload)
+            bucket = preprocessing.bucket_for_shape(
+                *u8.shape[:2], self.image_shapes)
+            x = preprocessing.resize_to_bucket(u8, bucket)
+            fc, att, top = self.enc_batcher.submit_image(
+                x, timeout=timeout, enqueue_timeout=self.queue_timeout_s)
         concepts = [self.idx2concept[k] for k in top]
         sentis = common.senti_word_ids(concepts, self.senti_table,
                                        self.vocab, self.num_sentiments)
@@ -190,12 +272,19 @@ class ServeApp:
                 "score": float(scores[0]),
                 "concepts": concepts}
 
+    def stats(self) -> dict:
+        out = self.batcher.stats()        # decode stats stay top-level
+        out["encode"] = self.enc_batcher.stats()
+        return out
+
     def close(self):
+        self.enc_batcher.close()
         self.batcher.close()
 
 
 def make_server(a) -> ThreadingHTTPServer:
     app = ServeApp(a)
+    max_body = int(a.max_body_mb * 1e6)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -210,7 +299,7 @@ def make_server(a) -> ThreadingHTTPServer:
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
-                self._send(200, app.batcher.stats())
+                self._send(200, app.stats())
             else:
                 self._send(404, {"error": "not found"})
 
@@ -220,6 +309,13 @@ def make_server(a) -> ThreadingHTTPServer:
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body:
+                    # reject BEFORE reading: one oversized body must not
+                    # be able to exhaust daemon memory (advisor r3)
+                    self._send(413, {"error":
+                                     f"body {n} B > --max_body_mb "
+                                     f"{a.max_body_mb}"})
+                    return
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 self._send(200, app.handle_caption(payload))
             except serving_daemon.Saturated as e:

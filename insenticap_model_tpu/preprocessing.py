@@ -58,7 +58,19 @@ def load_image(path: str) -> np.ndarray:
     colors). "L" stays 2-D and "RGBA" keeps its alpha-drop here, both
     matching the reference's arrays exactly."""
     from PIL import Image
-    img = Image.open(path)
+    return _pil_to_array(Image.open(path))
+
+
+def load_image_bytes(data: bytes) -> np.ndarray:
+    """load_image for in-memory encoded bytes (the serving daemon's
+    image_b64 mode — clients POST pixels instead of server-side paths)."""
+    import io
+
+    from PIL import Image
+    return _pil_to_array(Image.open(io.BytesIO(data)))
+
+
+def _pil_to_array(img) -> np.ndarray:
     if img.mode not in ("RGB", "RGBA", "L"):
         img = img.convert("RGB")
     arr = np.asarray(img)

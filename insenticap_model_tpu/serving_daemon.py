@@ -21,24 +21,33 @@ composition for the TPU build:
   single fused detect+decode program into two dispatches (~1.3 ms/batch
   on the tunnel, CLAUDE.md) in exchange for per-request sentiment
   control in mixed batches.
+* ``EncodeBatcher`` gives the image→features stage (ResNet encoder +
+  concept top-k) the same treatment: raw-uint8 images coalesce per
+  resize-bucket shape into batched ``encoder.forward_raw_batch`` calls,
+  and concept top-k rides the same batch — no bs=1 encoder forwards
+  under concurrent load (the two batchers form a two-stage pipeline,
+  each HTTP handler thread carrying its request encode→decode).
 
 Latency/throughput trade is explicit: ``max_wait_s`` bounds the time the
 first request in a batch waits for co-riders; a full largest-bucket
 batch dispatches immediately.
 
-Thread model: any number of producer threads call ``submit``; a
-dispatch thread stacks/ships/launches (JAX dispatch is asynchronous, so
-launched arrays are futures) and a completion thread materializes
-results and fans them out — batch N+1 ships while batch N's results
-drain back (double buffering, bounded at 2 batches in flight).
-``close()`` drains and joins both.
+Thread model (per batcher): any number of producer threads call
+``submit``; a dispatch thread stacks/ships/launches (JAX dispatch is
+asynchronous, so launched arrays are futures) and a completion thread
+materializes results and fans them out — batch N+1 ships while batch
+N's results drain back (double buffering, bounded at 2 batches in
+flight). Saturated producers block on a Condition the dispatch thread
+signals as it drains the queue (no polling). ``close()`` drains and
+joins both threads.
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +60,16 @@ from .models import sentiment_detector as senti_det
 AUTO = -1  # submit(forced_label=AUTO) -> use the image sentiment detector
 
 DEFAULT_BUCKETS = (1, 8, 32, 128, 384)
+
+# Batch ladder for the encode stage. Smaller cap than the decode
+# ladder: the encoder is compute-heavy per row (bs=32 is already at its
+# measured throughput plateau, tools/bench_encoder.py: 1,590 img/s vs
+# bs=16's 1,238) and each (shape-bucket, batch-bucket) pair costs one
+# XLA compile.
+DEFAULT_ENCODE_BUCKETS = (1, 4, 16, 32)
+
+# per-bucket request-latency ring size for stats() percentiles
+_LAT_WINDOW = 1024
 
 
 def default_buckets(mesh=None) -> Tuple[int, ...]:
@@ -68,21 +87,222 @@ class Saturated(RuntimeError):
     (the HTTP layer maps this to 503)."""
 
 
-class _Request:
-    __slots__ = ("fc", "att", "sentis", "forced_label", "done", "result",
-                 "error")
+class _RequestBase:
+    __slots__ = ("done", "result", "error", "t0")
+
+    def __init__(self):
+        self.done = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+        self.t0 = 0.0   # set at enqueue; stats() latency = done - t0
+
+
+class _BatcherBase:
+    """Shared two-stage (dispatch + completion) batching machinery.
+
+    Subclasses implement ``_dispatch(batch)`` (stack/ship/launch, then
+    ``self._fq.put(item)``) and ``_finish(item)`` (materialize, record
+    stats via ``_record_batch``, fan out). ``bucket_keys`` are the
+    stats/latency bucket labels (decode: batch sizes; encode: shape
+    tags)."""
+
+    def __init__(self, *, cap_n: int, max_wait_s: float, max_queue: int,
+                 bucket_keys: Sequence, name: str):
+        self._cap_n = int(cap_n)
+        self._max_wait_s = float(max_wait_s)
+        self._q: "queue.Queue[Optional[_RequestBase]]" = \
+            queue.Queue(max_queue)
+        # dispatched-but-unmaterialized batches; bound = 2 batches in
+        # flight (double buffering: ship batch N+1 while N's results
+        # drain back), blocking the dispatch thread beyond that
+        self._fq: "queue.Queue" = queue.Queue(2)
+        self._closed = False
+        # serializes the closed-check+enqueue against close()'s
+        # closed-set+sentinel, so no request can land BEHIND the sentinel
+        # (where it would never be served nor errored). The Condition
+        # shares this lock: saturated producers wait on it and the
+        # dispatch thread notifies as it drains the queue (advisor r3:
+        # no 1 kHz poll under saturation).
+        self._submit_lock = threading.Lock()
+        self._space = threading.Condition(self._submit_lock)
+        self._stats = {"requests": 0, "batches": 0,
+                       "by_bucket": {k: 0 for k in bucket_keys},
+                       "padded_rows": 0,
+                       "failed_requests": 0, "failed_batches": 0}
+        self._lat: Dict = {k: collections.deque(maxlen=_LAT_WINDOW)
+                           for k in bucket_keys}
+        self._stats_lock = threading.Lock()
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name=f"{name}-batcher")
+        self._finisher = threading.Thread(target=self._finish_loop,
+                                          daemon=True,
+                                          name=f"{name}-finisher")
+        self._worker.start()
+        self._finisher.start()
+
+    # -- producer side ------------------------------------------------------
+
+    def _enqueue_and_wait(self, r: _RequestBase,
+                          timeout: Optional[float],
+                          enqueue_timeout: Optional[float]):
+        """Shared submit tail: enqueue (Condition-blocked when the queue
+        is full), wait for completion, deliver result or raise."""
+        deadline = None if enqueue_timeout is None \
+            else time.monotonic() + enqueue_timeout
+        with self._space:
+            while True:
+                if self._closed:
+                    raise RuntimeError("batcher is closed")
+                try:
+                    r.t0 = time.monotonic()
+                    self._q.put_nowait(r)
+                    break
+                except queue.Full:
+                    pass
+                if deadline is None:
+                    self._space.wait()
+                else:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or not self._space.wait(remaining):
+                        raise Saturated(
+                            f"request queue full ({self._q.maxsize}) past "
+                            f"enqueue_timeout={enqueue_timeout}s")
+        if not r.done.wait(timeout):
+            raise TimeoutError("serving request timed out")
+        if r.error is not None:
+            raise r.error
+        return r.result
+
+    def stats(self) -> Dict:
+        with self._stats_lock:
+            out = dict(self._stats)
+            out["by_bucket"] = dict(self._stats["by_bucket"])
+            lat = {}
+            for k, ring in self._lat.items():
+                if not ring:
+                    continue
+                xs = np.sort(np.asarray(ring))
+                lat[k] = {
+                    "n": int(xs.size),
+                    "p50_ms": round(float(np.percentile(xs, 50)) * 1e3, 3),
+                    "p99_ms": round(float(np.percentile(xs, 99)) * 1e3, 3),
+                }
+            out["latency_by_bucket"] = lat
+        return out
+
+    def close(self) -> None:
+        """Drain queued requests, stop both stage threads."""
+        with self._space:
+            if self._closed:
+                return
+            self._closed = True
+            self._space.notify_all()   # wake saturated producers -> closed
+        # sentinel OUTSIDE the lock: a full queue would otherwise block
+        # close() while producers can no longer free space (they see
+        # closed); the dispatch thread drains regardless of the lock
+        self._q.put(None)              # after any queued work
+        self._worker.join()            # dispatch forwards sentinel on exit
+        self._finisher.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- dispatch thread ----------------------------------------------------
+
+    def _collect(self) -> Optional[List[_RequestBase]]:
+        """Block for the first request, then coalesce co-riders until the
+        batch cap fills or the oldest request has waited max_wait_s."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(batch) < self._cap_n:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                r = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if r is None:          # close(): serve what we have, then stop
+                self._q.put(None)
+                break
+            batch.append(r)
+        # queue space was freed — wake producers blocked in _enqueue
+        with self._space:
+            self._space.notify_all()
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                self._fq.put(None)            # forward shutdown downstream
+                return
+            try:
+                self._dispatch(batch)
+            except BaseException as e:  # deliver, don't kill the thread
+                self._fail_batch(batch, e)
+
+    def _finish_loop(self) -> None:
+        while True:
+            item = self._fq.get()
+            if item is None:
+                return
+            self._finish(item)
+
+    # -- bookkeeping shared by subclasses ------------------------------------
+
+    def _fail_batch(self, batch: List[_RequestBase],
+                    e: BaseException) -> None:
+        """Failed traffic must still show in /stats — an operator
+        watching a daemon that receives-and-fails load should not see
+        flat counters."""
+        with self._stats_lock:
+            self._stats["failed_requests"] += len(batch)
+            self._stats["failed_batches"] += 1
+        for r in batch:
+            r.error = e
+            r.done.set()
+
+    def _record_batch(self, batch: List[_RequestBase], bucket_key,
+                      pad: int) -> None:
+        """Stats BEFORE done-events: a caller returning from submit()
+        must already see its request counted."""
+        now = time.monotonic()
+        with self._stats_lock:
+            self._stats["requests"] += len(batch)
+            self._stats["batches"] += 1
+            self._stats["by_bucket"][bucket_key] += 1
+            self._stats["padded_rows"] += pad
+            self._lat[bucket_key].extend(now - r.t0 for r in batch)
+
+    # -- subclass hooks -------------------------------------------------------
+
+    def _dispatch(self, batch: List[_RequestBase]) -> None:
+        raise NotImplementedError
+
+    def _finish(self, item) -> None:
+        raise NotImplementedError
+
+
+class _Request(_RequestBase):
+    __slots__ = ("fc", "att", "sentis", "forced_label")
 
     def __init__(self, fc, att, sentis, forced_label):
+        super().__init__()
         self.fc = fc
         self.att = att
         self.sentis = sentis
         self.forced_label = forced_label
-        self.done = threading.Event()
-        self.result = None
-        self.error: Optional[BaseException] = None
 
 
-class DynamicBatcher:
+class DynamicBatcher(_BatcherBase):
     """Coalesce feature-level caption requests into static-shape batches.
 
     Parameters
@@ -148,7 +368,6 @@ class DynamicBatcher:
         self._m = int(num_sentiments)
         self._num_cats = int(num_cats)
         self._buckets = tuple(int(b) for b in bucket_sizes)
-        self._max_wait_s = float(max_wait_s)
         self._batch_sharding = None
         if mesh is None:
             self._cap_params = cap_params
@@ -171,28 +390,9 @@ class DynamicBatcher:
             self._serve = inference.make_sharded_forced_serving_fn(
                 mesh, settings, ids, beam_size, max_seq_len)
             self._batch_sharding = NamedSharding(mesh, P("data"))
-        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(max_queue)
-        # dispatched-but-unmaterialized batches; bound = 2 batches in
-        # flight (double buffering: ship batch N+1 while N's results
-        # drain back), blocking the dispatch thread beyond that
-        self._fq: "queue.Queue" = queue.Queue(2)
-        self._closed = False
-        # serializes the closed-check+enqueue against close()'s
-        # closed-set+sentinel, so no request can land BEHIND the sentinel
-        # (where it would never be served nor errored)
-        self._submit_lock = threading.Lock()
-        self._stats = {"requests": 0, "batches": 0,
-                       "by_bucket": {b: 0 for b in self._buckets},
-                       "padded_rows": 0,
-                       "failed_requests": 0, "failed_batches": 0}
-        self._stats_lock = threading.Lock()
-        self._worker = threading.Thread(target=self._loop, daemon=True,
-                                        name="isc-serve-batcher")
-        self._finisher = threading.Thread(target=self._finish_loop,
-                                          daemon=True,
-                                          name="isc-serve-finisher")
-        self._worker.start()
-        self._finisher.start()
+        super().__init__(cap_n=self._buckets[-1], max_wait_s=max_wait_s,
+                         max_queue=max_queue, bucket_keys=self._buckets,
+                         name="isc-serve")
 
     # -- public API -------------------------------------------------------
 
@@ -226,91 +426,9 @@ class DynamicBatcher:
             raise ValueError(f"forced_label {forced_label} not in "
                              f"[0, {self._num_cats}) or AUTO")
         r = _Request(fc, att, sentis, int(forced_label))
-        # enqueue without ever holding the lock across a blocking put
-        # (a full-queue blocking put under the lock would stall close())
-        deadline = None if enqueue_timeout is None \
-            else time.monotonic() + enqueue_timeout
-        while True:
-            with self._submit_lock:
-                if self._closed:
-                    raise RuntimeError("batcher is closed")
-                try:
-                    self._q.put_nowait(r)
-                    break
-                except queue.Full:
-                    pass
-            if deadline is not None and time.monotonic() >= deadline:
-                raise Saturated(
-                    f"request queue full ({self._q.maxsize}) past "
-                    f"enqueue_timeout={enqueue_timeout}s")
-            time.sleep(0.001)
-        if not r.done.wait(timeout):
-            raise TimeoutError("serving request timed out")
-        if r.error is not None:
-            raise r.error
-        return r.result
+        return self._enqueue_and_wait(r, timeout, enqueue_timeout)
 
-    def stats(self) -> Dict:
-        with self._stats_lock:
-            out = dict(self._stats)
-            out["by_bucket"] = dict(self._stats["by_bucket"])
-            return out
-
-    def close(self) -> None:
-        """Drain queued requests, stop both stage threads."""
-        with self._submit_lock:
-            if self._closed:
-                return
-            self._closed = True
-            self._q.put(None)      # sentinel after any queued work
-        self._worker.join()        # dispatch forwards a sentinel on exit
-        self._finisher.join()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False
-
-    # -- dispatch thread --------------------------------------------------
-
-    def _collect(self) -> Optional[List[_Request]]:
-        """Block for the first request, then coalesce co-riders until the
-        largest bucket fills or the oldest request has waited max_wait_s."""
-        first = self._q.get()
-        if first is None:
-            return None
-        batch = [first]
-        cap_n = self._buckets[-1]
-        deadline = time.monotonic() + self._max_wait_s
-        while len(batch) < cap_n:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
-            try:
-                r = self._q.get(timeout=remaining)
-            except queue.Empty:
-                break
-            if r is None:          # close(): serve what we have, then stop
-                self._q.put(None)
-                break
-            batch.append(r)
-        return batch
-
-    def _loop(self) -> None:
-        while True:
-            batch = self._collect()
-            if batch is None:
-                self._fq.put(None)            # forward shutdown downstream
-                return
-            try:
-                self._dispatch(batch)
-            except BaseException as e:  # deliver, don't kill the thread
-                self._count_failure(len(batch))
-                for r in batch:
-                    r.error = e
-                    r.done.set()
+    # -- dispatch/finish --------------------------------------------------
 
     def _stage(self, x):
         """Host array -> device. Host-side dtype casts happen BEFORE
@@ -354,41 +472,20 @@ class DynamicBatcher:
                                    labels)
         self._fq.put((batch, bucket, pad, seqs, scores, labels))
 
-    def _finish_loop(self) -> None:
+    def _finish(self, item) -> None:
         """Stage 2: materialize device outputs, fan results out."""
-        while True:
-            item = self._fq.get()
-            if item is None:
-                return
-            batch, bucket, pad, seqs, scores, labels = item
-            try:
-                seqs = np.asarray(seqs)
-                scores = np.asarray(scores, np.float32)
-                labels = np.asarray(labels)
-            except BaseException as e:   # runtime device errors land here
-                self._count_failure(len(batch))
-                for r in batch:
-                    r.error = e
-                    r.done.set()
-                continue
-            # stats BEFORE done-events: a caller returning from submit()
-            # must already see its request counted
-            with self._stats_lock:
-                self._stats["requests"] += len(batch)
-                self._stats["batches"] += 1
-                self._stats["by_bucket"][bucket] += 1
-                self._stats["padded_rows"] += pad
-            for i, r in enumerate(batch):
-                r.result = (seqs[i], scores[i], int(labels[i]))
-                r.done.set()
-
-    def _count_failure(self, n: int) -> None:
-        """Failed traffic must still show in /stats — an operator
-        watching a daemon that receives-and-fails load should not see
-        flat counters."""
-        with self._stats_lock:
-            self._stats["failed_requests"] += n
-            self._stats["failed_batches"] += 1
+        batch, bucket, pad, seqs, scores, labels = item
+        try:
+            seqs = np.asarray(seqs)
+            scores = np.asarray(scores, np.float32)
+            labels = np.asarray(labels)
+        except BaseException as e:   # runtime device errors land here
+            self._fail_batch(batch, e)
+            return
+        self._record_batch(batch, bucket, pad)
+        for i, r in enumerate(batch):
+            r.result = (seqs[i], scores[i], int(labels[i]))
+            r.done.set()
 
     # -- warmup -----------------------------------------------------------
 
@@ -412,6 +509,170 @@ class DynamicBatcher:
             out = self._serve(self._cap_params, fcz, attz, sz,
                               self._stage(np.zeros((b,), np.int32)))
             np.asarray(out[0])    # force-complete (tunnel sync rule)
+
+
+# ---------------------------------------------------------------------------
+# Encode stage: batched image->features + concept top-k
+# ---------------------------------------------------------------------------
+
+_FC_KEY = "fc"   # stats bucket label for feature-mode concept-only rows
+
+
+class _EncodeRequest(_RequestBase):
+    __slots__ = ("img", "fc", "key")
+
+    def __init__(self, img, fc, key):
+        super().__init__()
+        self.img = img       # uint8 [H, W, 3] (image mode) or None
+        self.fc = fc         # float32 [Ff] (feature mode) or None
+        self.key = key       # "{H}x{W}" or _FC_KEY — the grouping key
+
+
+class EncodeBatcher(_BatcherBase):
+    """Coalesce image-encode (+ concept top-k) requests into batched
+    device calls (VERDICT r3 weak #2: the encoder must never run bs=1
+    under concurrent load — bs=1 is ~4x off the batched rate,
+    tools/bench_encoder.py).
+
+    Requests group by RESIZE BUCKET (only same-shape images can stack;
+    serve.py resizes to ``preprocessing.DEFAULT_BUCKET_SHAPES`` first),
+    pad up the ``batch_buckets`` ladder, and run one
+    ``encoder.forward_raw_batch`` per shape group. Concept top-k rides
+    the SAME padded batch — zero extra queuing stages. Feature-mode
+    requests (fc already known, only top-k needed) form their own group
+    on the same ladder, so feature-mode concept detection batches too.
+
+    Parameters
+    ----------
+    enc_apply : jitted ``imgs_u8 [B,H,W,3] -> (fc [B,Ff], att [B,a,a,Fa])``
+        with encoder params bound, or None (feature-only daemon: image
+        submissions raise upstream).
+    cpt_apply : jitted ``fc [B,Ff] -> top [B,K]`` concept top-k with
+        detector params bound.
+    shape_buckets : the resize ladder; images MUST arrive already
+        resized to one of these (static-shape discipline — an unknown
+        shape would silently compile a new multi-minute program).
+    batch_buckets : ascending batch ladder shared by all shape groups
+        (and the feature-mode group). One compile per (shape, batch)
+        pair.
+    """
+
+    def __init__(self, enc_apply: Optional[Callable],
+                 cpt_apply: Callable, *,
+                 fc_dim: int,
+                 shape_buckets: Sequence[Tuple[int, int]],
+                 batch_buckets: Sequence[int] = DEFAULT_ENCODE_BUCKETS,
+                 max_wait_s: float = 0.005, max_queue: int = 1024):
+        if list(batch_buckets) != sorted(set(batch_buckets)):
+            raise ValueError(f"batch_buckets must be ascending/unique: "
+                             f"{batch_buckets}")
+        self._enc_apply = enc_apply
+        self._cpt_apply = cpt_apply
+        self._fc_dim = int(fc_dim)
+        self._shapes = tuple((int(h), int(w)) for h, w in shape_buckets)
+        self._batch_buckets = tuple(int(b) for b in batch_buckets)
+        keys = [f"{h}x{w}" for h, w in self._shapes] + [_FC_KEY]
+        super().__init__(cap_n=self._batch_buckets[-1],
+                         max_wait_s=max_wait_s, max_queue=max_queue,
+                         bucket_keys=keys, name="isc-encode")
+
+    # -- public API -------------------------------------------------------
+
+    def submit_image(self, img_u8, timeout: Optional[float] = None,
+                     enqueue_timeout: Optional[float] = None):
+        """Encode one bucket-shaped uint8 RGB image. Blocks until its
+        batch completes. Returns (fc [Ff] f32, att [a,a,Fa] f32,
+        top [K] int concept indices)."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        if self._enc_apply is None:
+            raise ValueError("image mode needs an encoder "
+                             "(--resnet101_ckpt)")
+        img_u8 = np.asarray(img_u8)
+        if (img_u8.dtype != np.uint8 or img_u8.ndim != 3
+                or tuple(img_u8.shape[:2]) not in self._shapes
+                or img_u8.shape[2] != 3):
+            raise ValueError(
+                f"image shape {img_u8.shape}/{img_u8.dtype} is not a "
+                f"uint8 RGB resize bucket {self._shapes} — resize host-"
+                f"side first (the ladder's programs are static-shaped)")
+        h, w = img_u8.shape[:2]
+        r = _EncodeRequest(img_u8, None, f"{h}x{w}")
+        return self._enqueue_and_wait(r, timeout, enqueue_timeout)
+
+    def submit_fc(self, fc, timeout: Optional[float] = None,
+                  enqueue_timeout: Optional[float] = None):
+        """Concept top-k for an already-extracted fc row (feature-mode
+        requests batch their top-k here instead of running bs=1).
+        Returns top [K] int concept indices."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        fc = np.asarray(fc, np.float32)
+        if fc.shape != (self._fc_dim,):
+            raise ValueError(f"fc shape {fc.shape} != ({self._fc_dim},)")
+        r = _EncodeRequest(None, fc, _FC_KEY)
+        return self._enqueue_and_wait(r, timeout, enqueue_timeout)
+
+    # -- dispatch/finish --------------------------------------------------
+
+    def _dispatch(self, batch: List[_EncodeRequest]) -> None:
+        """Group rows by shape key, pad each group up the batch ladder,
+        launch one encoder (+top-k) program per group. All groups of one
+        collect() launch together as one _fq item (they shipped
+        back-to-back; double buffering stays batch-level)."""
+        groups: Dict[str, List[_EncodeRequest]] = {}
+        for r in batch:
+            groups.setdefault(r.key, []).append(r)
+        launched = []
+        for key, rs in groups.items():
+            n = len(rs)
+            bucket = next(b for b in self._batch_buckets if b >= n)
+            pad = bucket - n
+            if key == _FC_KEY:
+                fcs = np.stack([r.fc for r in rs]
+                               + [rs[-1].fc] * pad)
+                top = self._cpt_apply(jnp.asarray(fcs))
+                launched.append((rs, key, pad, None, None, top))
+            else:
+                imgs = np.stack([r.img for r in rs]
+                                + [rs[-1].img] * pad)
+                fc, att = self._enc_apply(jnp.asarray(imgs))
+                top = self._cpt_apply(fc)
+                launched.append((rs, key, pad, fc, att, top))
+        self._fq.put(launched)
+
+    def _finish(self, launched) -> None:
+        for rs, key, pad, fc, att, top in launched:
+            try:
+                top = np.asarray(top)
+                if fc is not None:
+                    fc = np.asarray(fc, np.float32)
+                    att = np.asarray(att, np.float32)
+            except BaseException as e:
+                self._fail_batch(rs, e)
+                continue
+            self._record_batch(rs, key, pad)
+            for i, r in enumerate(rs):
+                r.result = top[i] if fc is None \
+                    else (fc[i], att[i], top[i])
+                r.done.set()
+
+    # -- warmup -----------------------------------------------------------
+
+    def warm(self, batch_buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile every (shape, batch) encoder program plus the
+        feature-mode top-k ladder. The encode programs are the expensive
+        compiles (full ResNet trunk) — pass a sub-ladder to trim startup
+        time at the cost of one live compile per untouched bucket."""
+        for b in (batch_buckets or self._batch_buckets):
+            if self._enc_apply is not None:
+                for h, w in self._shapes:
+                    fc, _ = self._enc_apply(
+                        jnp.asarray(np.zeros((b, h, w, 3), np.uint8)))
+                    np.asarray(self._cpt_apply(fc)).sum()  # sync (scalar)
+            top = self._cpt_apply(
+                jnp.asarray(np.zeros((b, self._fc_dim), np.float32)))
+            np.asarray(top).sum()
 
 
 def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,

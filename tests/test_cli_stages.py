@@ -12,15 +12,12 @@ import h5py
 import numpy as np
 import pytest
 
+from insenticap_model_tpu import synthetic
 from insenticap_model_tpu.config import Opts, Settings
+from insenticap_model_tpu.synthetic import (CONCEPTS, N_IMG, N_SENTI_IMG,
+                                            WORDS)
 
 pytestmark = pytest.mark.slow  # excluded from the fast gate
-
-WORDS = ["cat", "dog", "man", "tree", "happy", "sad", "red", "blue",
-         "runs", "sits", "big", "small", "nice", "ugly", "good", "bad"]
-CONCEPTS = WORDS[:8]
-N_IMG = {"train": 12, "val": 6, "test": 6}
-N_SENTI_IMG = {"train": 8, "val": 4, "test": 4}
 
 
 def _tiny_settings():
@@ -31,79 +28,13 @@ def _tiny_settings():
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
-    """Fabricated ./data tree with the reference's artifact schemas."""
+    """Fabricated ./data tree with the reference's artifact schemas
+    (shared generator: insenticap_model_tpu/synthetic.py — the metrics
+    anchor builds the SAME corpus)."""
     root = tmp_path_factory.mktemp("cli_e2e")
-    g = np.random.default_rng(0)
     cwd = os.getcwd()
     os.chdir(root)
-
-    cap_dir = root / "data/captions/coco/part"
-    cap_dir.mkdir(parents=True)
-    feats_coco = root / "data/features/coco"
-    feats_senti = root / "data/features/sentiment"
-    feats_coco.mkdir(parents=True)
-    feats_senti.mkdir(parents=True)
-
-    idx2word = ["<PAD>", "<UNK>", "<SOS>", "<EOS>"] + WORDS
-    (cap_dir / "idx2word.json").write_text(json.dumps(idx2word))
-    (root / "data/captions/coco/idx2concept.json").write_text(
-        json.dumps(CONCEPTS))
-
-    def rand_caption():
-        L = int(g.integers(3, 7))
-        return [WORDS[int(j)] for j in g.integers(0, len(WORDS), L)]
-
-    img_captions, img_concepts = {}, {}
-    all_fns = []
-    for split, n in N_IMG.items():
-        img_captions[split] = {}
-        img_concepts[split] = {}
-        for i in range(n):
-            fn = f"{split}_img{i}.jpg"
-            all_fns.append(fn)
-            img_captions[split][fn] = [rand_caption() for _ in range(3)]
-            img_concepts[split][fn] = list(
-                {WORDS[int(j)] for j in g.integers(0, 8, 4)})
-    (root / "data/captions/coco/img_captions.json").write_text(
-        json.dumps(img_captions))
-    (root / "data/captions/coco/img_concepts.json").write_text(
-        json.dumps(img_concepts))
-
-    senti_fns = []
-    img_senti_labels = {}
-    cats = ["positive", "negative", "neutral"]
-    for split, n in N_SENTI_IMG.items():
-        img_senti_labels[split] = []
-        for i in range(n):
-            fn = f"senti_{split}_img{i}.jpg"
-            senti_fns.append(fn)
-            img_senti_labels[split].append([fn, cats[i % 3]])
-    (root / "data/captions/img_senti_labels.json").write_text(
-        json.dumps(img_senti_labels))
-
-    # senti corpus: [cap_words, cpt_words, senti_words] triples; ≥160
-    # neutral so the scs loader (bs=80, drop_last) yields batches
-    senti_captions = {}
-    for senti, n in (("positive", 30), ("negative", 30), ("neutral", 160)):
-        senti_captions[senti] = [
-            [rand_caption(), [WORDS[int(g.integers(0, 8))]],
-             [WORDS[4 + int(g.integers(0, 4))]]] for _ in range(n)]
-    (cap_dir / "senti_captions.json").write_text(json.dumps(senti_captions))
-
-    s = _tiny_settings()
-    with h5py.File(feats_coco / "coco_fc.h5", "w") as f_fc, \
-            h5py.File(feats_coco / "coco_att.h5", "w") as f_att:
-        for fn in all_fns:
-            f_fc[fn] = g.normal(size=(s.fc_feat_dim,)).astype(np.float32)
-            f_att[fn] = g.normal(
-                size=(14, 14, s.att_feat_dim)).astype(np.float32)
-    with h5py.File(feats_senti / "feats_fc.h5", "w") as f_fc, \
-            h5py.File(feats_senti / "feats_att.h5", "w") as f_att:
-        for fn in senti_fns:
-            f_fc[fn] = g.normal(size=(s.fc_feat_dim,)).astype(np.float32)
-            f_att[fn] = g.normal(
-                size=(14, 14, s.att_feat_dim)).astype(np.float32)
-
+    synthetic.build_tree(str(root), _tiny_settings(), seed=0)
     yield root
     os.chdir(cwd)
 
@@ -419,6 +350,139 @@ def test_j_serve_daemon_http(workdir):
 
         status, body = post({"att": [[0.0]]})        # malformed: no fc
         assert status == 400 and "error" in body
+    finally:
+        srv.shutdown()
+        srv.app.close()
+        srv.server_close()
+        t.join(timeout=30)
+
+
+def test_j2_serve_daemon_image_mode(workdir, monkeypatch):
+    """Image mode over HTTP: image_b64 and --image_root-confined
+    image_path both ride the EncodeBatcher (batched encoder + concept
+    top-k — VERDICT r3 #2), path escapes get a uniform 400, disabled
+    path mode gets 400, and oversized bodies get 413 before the read.
+    The encoder is a settings-matched fake behind serve_cli's
+    _load_encoder seam (the real ResNet-101 is dimensioned for
+    fc/att=2048 production checkpoints, not this fixture)."""
+    import base64
+    import http.client
+    import io
+    import socket
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from insenticap_model_tpu.cli import serve as serve_cli
+    from insenticap_model_tpu.training import checkpoint as tckpt
+
+    with open("data/corpus/part/sentiment_detector.json", "w") as f:
+        json.dump({w: [["happy", 1.0], ["sad", 0.5]] for w in CONCEPTS}, f)
+
+    rl_ck = "checkpoint/rl/coco/part/model_0.ckpt"
+    cpt_ck = sorted(glob.glob("checkpoint/concept/coco/model_*.ckpt"))[-1]
+    s = Settings.from_dict(tckpt.load_metadata(rl_ck)["settings"])
+
+    def fake_enc(x):
+        # deterministic per-row features with the fixture's dims
+        x = jnp.asarray(x, jnp.float32) / 255.0
+        b = x.shape[0]
+        base = x.reshape(b, -1)
+        fc = jnp.stack([jnp.resize(base[i], (s.fc_feat_dim,))
+                        for i in range(b)])
+        att = jnp.stack([jnp.resize(base[i], (14, 14, s.att_feat_dim))
+                         for i in range(b)])
+        return fc, att
+
+    monkeypatch.setattr(serve_cli, "_load_encoder",
+                        lambda ck, dt: fake_enc)
+
+    imgs_dir = "data/serve_imgs"
+    os.makedirs(imgs_dir, exist_ok=True)
+    g = np.random.default_rng(11)
+    arr = g.integers(0, 256, size=(20, 18, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(f"{imgs_dir}/ok.png")
+    with open("outside.png", "wb") as f:   # exists, but outside the root
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        f.write(buf.getvalue())
+
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = sk.getsockname()[1]
+    a = serve_cli.build_parser().parse_args([
+        "--rl_model", rl_ck, "--concept_model", cpt_ck,
+        "--sentiment_detector_json",
+        "data/corpus/part/sentiment_detector.json",
+        "--resnet101_ckpt", "fake.ckpt", "--image_root", imgs_dir,
+        "--image_buckets", "[[16,16],[12,16],[16,12]]",
+        "--port", str(port), "--bucket_sizes", "[2,4]",
+        "--enc_bucket_sizes", "[2,4]",
+        "--max_wait_ms", "250", "--beam_size", "2", "--max_seq_len", "8",
+        "--num_concepts", "3", "--max_body_mb", "0.2"])
+    srv = serve_cli.make_server(a)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(payload, raw=None):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            c.request("POST", "/caption", raw or json.dumps(payload),
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            body = json.loads(r.read())
+            c.close()
+            return r.status, body
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+
+        # concurrent image_b64 + image_path coalesce in the EncodeBatcher
+        out = [None, None]
+        payloads = [{"image_b64": b64, "sentiment": "positive"},
+                    {"image_path": f"{imgs_dir}/ok.png",
+                     "sentiment": "auto"}]
+        ts = [threading.Thread(
+            target=lambda i=i: out.__setitem__(i, post(payloads[i])))
+            for i in range(2)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        for status, body in out:
+            assert status == 200, body
+            assert body["caption"] and body["concepts"]
+        assert out[0][1]["sentiment"] == "positive"
+        # same pixels -> same features -> identical caption both modes
+        assert out[0][1]["concepts"] == out[1][1]["concepts"]
+
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.request("GET", "/stats")
+        stats = json.loads(c.getresponse().read())
+        c.close()
+        assert stats["encode"]["requests"] == 2
+        assert stats["encode"]["by_bucket"]["16x16"] >= 1
+        assert stats["encode"]["latency_by_bucket"]
+
+        # path confinement: uniform 400, no filesystem detail leaked
+        status, body = post({"image_path": "outside.png"})
+        assert status == 400 and "outside --image_root" in body["error"]
+        status, body = post({"image_path": "/etc/passwd"})
+        assert status == 400 and "outside --image_root" in body["error"]
+        # junk bytes behind valid base64 -> clean 400
+        status, body = post({"image_b64":
+                             base64.b64encode(b"nonsense").decode()})
+        assert status == 400 and "image_b64" in body["error"]
+        # oversized body sheds with 413 BEFORE the read
+        status, body = post(None, raw="x" * 300_000)
+        assert status == 413
+
+        # with image_root unset, path mode is disabled outright
+        monkeypatch.setattr(srv.app, "image_root", None)
+        status, body = post({"image_path": f"{imgs_dir}/ok.png"})
+        assert status == 400 and "disabled" in body["error"]
     finally:
         srv.shutdown()
         srv.app.close()

@@ -360,3 +360,209 @@ def test_mesh_warm_compiles_the_production_signature(params, settings):
         # no new executable: production traffic hit the warmed programs
         assert b._serve._cache_size() == n_serve
         assert b._detect._cache_size() == n_detect
+
+
+# ---------------------------------------------------------------------------
+# EncodeBatcher: batched image->features + concept top-k (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+class _FakeEncode:
+    """Deterministic stand-in for the jitted encoder apply: row values
+    depend only on the row's pixels, so batching/padding must be
+    invisible. Records every batch size it was called with."""
+
+    def __init__(self, fc_dim=24, att_hw=(7, 7), att_dim=24):
+        self.fc_dim, self.att_hw, self.att_dim = fc_dim, att_hw, att_dim
+        self.calls = []
+
+    def __call__(self, imgs):
+        imgs = np.asarray(imgs)
+        self.calls.append(imgs.shape)
+        b = imgs.shape[0]
+        base = imgs.reshape(b, -1).astype(np.float32)
+        fc = np.stack([np.resize(r, (self.fc_dim,)) for r in base])
+        att = np.stack([np.resize(r, self.att_hw + (self.att_dim,))
+                        for r in base])
+        return jnp.asarray(fc), jnp.asarray(att)
+
+
+class _FakeTopK:
+    def __init__(self, k=3):
+        self.k = k
+        self.calls = []
+
+    def __call__(self, fc):
+        fc = np.asarray(fc, np.float32)
+        self.calls.append(fc.shape)
+        return jnp.asarray(np.argsort(-fc, axis=-1)[:, :self.k]
+                           .astype(np.int32))
+
+
+SHAPES = ((16, 16), (12, 16), (16, 12))
+
+
+def _enc_batcher(**kw):
+    enc = kw.pop("enc", _FakeEncode())
+    cpt = kw.pop("cpt", _FakeTopK())
+    kw.setdefault("batch_buckets", (1, 2, 4))
+    kw.setdefault("max_wait_s", 0.25)
+    b = serving_daemon.EncodeBatcher(enc, cpt, fc_dim=24,
+                                     shape_buckets=SHAPES, **kw)
+    return b, enc, cpt
+
+
+def test_encode_batcher_coalesces_and_matches_direct():
+    """Concurrent same-shape images ride ONE batched encoder call (no
+    bs=1 forwards under load) and each row's result equals the direct
+    per-row computation."""
+    g = np.random.default_rng(0)
+    imgs = [g.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+            for _ in range(4)]
+    b, enc, cpt = _enc_batcher()
+    try:
+        out = [None] * 4
+        ts = [threading.Thread(
+            target=lambda i=i: out.__setitem__(
+                i, b.submit_image(imgs[i], timeout=300)))
+            for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        direct_enc = _FakeEncode()
+        direct_cpt = _FakeTopK()
+        for i in range(4):
+            fc, att, top = out[i]
+            fce, atte = direct_enc(imgs[i][None])
+            np.testing.assert_array_equal(fc, np.asarray(fce)[0])
+            np.testing.assert_array_equal(att, np.asarray(atte)[0])
+            np.testing.assert_array_equal(
+                top, np.asarray(direct_cpt(fce))[0])
+        # all four coalesced: no call smaller than the 4-bucket
+        assert all(s[0] == 4 for s in enc.calls)
+        st = b.stats()
+        assert st["requests"] == 4 and st["by_bucket"]["16x16"] >= 1
+        assert "16x16" in st["latency_by_bucket"]
+        lat = st["latency_by_bucket"]["16x16"]
+        assert lat["n"] == 4 and lat["p50_ms"] <= lat["p99_ms"]
+    finally:
+        b.close()
+
+
+def test_encode_batcher_groups_by_shape_and_pads():
+    """Mixed-shape batches split into per-shape encoder calls, each
+    padded up the batch ladder; feature-mode rows form their own top-k
+    group in the same collect window."""
+    g = np.random.default_rng(1)
+    img_sq = g.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    img_ls = g.integers(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    fc_row = g.normal(size=(24,)).astype(np.float32)
+    b, enc, cpt = _enc_batcher()
+    try:
+        out = [None] * 3
+        ts = [threading.Thread(target=lambda i=i, f=f: out.__setitem__(
+            i, f())) for i, f in enumerate([
+                lambda: b.submit_image(img_sq, timeout=300),
+                lambda: b.submit_image(img_ls, timeout=300),
+                lambda: b.submit_fc(fc_row, timeout=300)])]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # shapes grouped: one encoder call per shape, padded to bucket 1
+        assert sorted(s[1:3] for s in enc.calls) == [(12, 16), (16, 16)]
+        # feature-mode top-k batched through the same ladder
+        np.testing.assert_array_equal(
+            out[2], np.asarray(_FakeTopK()(fc_row[None]))[0])
+        st = b.stats()
+        assert st["by_bucket"]["fc"] == 1
+    finally:
+        b.close()
+
+
+def test_encode_batcher_validates_and_gates_image_mode():
+    b, enc, cpt = _enc_batcher()
+    try:
+        with pytest.raises(ValueError, match="resize bucket"):
+            b.submit_image(np.zeros((9, 9, 3), np.uint8))
+        with pytest.raises(ValueError, match="resize bucket"):
+            b.submit_image(np.zeros((16, 16, 3), np.float32))
+        with pytest.raises(ValueError, match="fc shape"):
+            b.submit_fc(np.zeros((7,), np.float32))
+    finally:
+        b.close()
+    # feature-only daemon: no encoder -> image submissions refused
+    b2 = serving_daemon.EncodeBatcher(None, _FakeTopK(), fc_dim=24,
+                                      shape_buckets=SHAPES)
+    try:
+        with pytest.raises(ValueError, match="image mode needs"):
+            b2.submit_image(np.zeros((16, 16, 3), np.uint8))
+        np.testing.assert_array_equal(
+            b2.submit_fc(np.zeros((24,), np.float32), timeout=300),
+            np.asarray(_FakeTopK()(np.zeros((1, 24), np.float32)))[0])
+    finally:
+        b2.close()
+
+
+def test_encode_batcher_warm_precompiles_ladder():
+    b, enc, cpt = _enc_batcher()
+    try:
+        b.warm()
+        # every (shape, batch-bucket) pair touched once
+        seen = {(s[0], s[1:3]) for s in enc.calls}
+        assert seen == {(n, hw) for n in (1, 2, 4) for hw in SHAPES}
+    finally:
+        b.close()
+
+
+def test_encode_batcher_errors_delivered_not_fatal():
+    class Boom(_FakeEncode):
+        def __call__(self, imgs):
+            raise RuntimeError("device on fire")
+
+    b, enc, cpt = _enc_batcher(enc=Boom())
+    try:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            b.submit_image(np.zeros((16, 16, 3), np.uint8), timeout=300)
+        st = b.stats()
+        assert st["failed_requests"] == 1 and st["failed_batches"] == 1
+        # fc path unaffected (separate group, same machinery)
+        b.submit_fc(np.zeros((24,), np.float32), timeout=300)
+    finally:
+        b.close()
+
+
+def test_submit_blocks_on_condition_not_poll(params, settings):
+    """Saturation backpressure wakes via the dispatch thread's Condition
+    notify (advisor r3: no 1 kHz poll): a submit blocked on a FULL queue
+    with enqueue_timeout=None must complete once the queue drains."""
+    g = np.random.default_rng(2)
+    imgs = [g.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+            for _ in range(4)]
+
+    class Slow(_FakeEncode):
+        def __init__(self, gate):
+            super().__init__()
+            self.gate = gate
+
+        def __call__(self, x):
+            self.gate.wait(30)
+            return super().__call__(x)
+
+    gate = threading.Event()
+    b, enc, cpt = _enc_batcher(enc=Slow(gate), batch_buckets=(1,),
+                               max_wait_s=0.0, max_queue=1)
+    try:
+        out = []
+        ts = [threading.Thread(
+            target=lambda i=i: out.append(
+                b.submit_image(imgs[i], timeout=300)))
+            for i in range(4)]
+        for t in ts:
+            t.start()
+        gate.set()                       # release the encoder
+        for t in ts:
+            t.join(60)
+        assert len(out) == 4
+    finally:
+        b.close()
