@@ -87,8 +87,11 @@ def build_parser():
                         "data-axis size; explicit values must already be "
                         "multiples)")
     p.add_argument("--enc_bucket_sizes", type=str, default="",
-                   help="encode-stage batch ladder, default [1,4,16,32]; "
-                        "one XLA compile per (resize-shape, batch) pair")
+                   help="encode-stage batch ladder, default [1,4,16,32] "
+                        "(under --mesh_shape the default rounds up to "
+                        "data-axis multiples; explicit values must "
+                        "already be multiples); one XLA compile per "
+                        "(resize-shape, batch) pair")
     p.add_argument("--image_buckets", type=str, default="",
                    help="resize-shape ladder for image mode as JSON "
                         "[[h,w],...], default the production "
@@ -119,10 +122,12 @@ def build_parser():
     return p
 
 
-def _load_encoder(resnet101_ckpt: str, compute_dtype: str):
+def _load_encoder(resnet101_ckpt: str, compute_dtype: str, mesh=None):
     """Converted-ResNet checkpoint -> jitted raw-uint8 batch apply
     (uint8 [B,H,W,3] -> (fc [B,2048], att [B,14,14,2048])). Separate
-    function so tests can substitute a settings-matched tiny encoder."""
+    function so tests can substitute a settings-matched tiny encoder.
+    Under a mesh the params replicate and GSPMD partitions the pure-XLA
+    conv stack over the data-sharded batch EncodeBatcher stages."""
     enc_params, _, _ = ckpt.load(
         resnet101_ckpt, enc.init_params(jax.random.PRNGKey(3)))
     if compute_dtype == "bfloat16":
@@ -133,6 +138,9 @@ def _load_encoder(resnet101_ckpt: str, compute_dtype: str):
             lambda x: x.astype(jnp.bfloat16)
             if np.issubdtype(np.asarray(x).dtype, np.floating)
             else x, enc_params)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        enc_params = pmesh.replicate(mesh, enc_params)
     # raw-uint8 path: normalize folded into conv1, 4x fewer
     # host->device bytes than shipping float pixels
     return jax.jit(lambda x, p=enc_params: enc.forward_raw_batch(p, x))
@@ -178,6 +186,9 @@ class ServeApp:
 
         self.cpt_params, self.idx2concept = common.load_concept_model(
             a.concept_model)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            self.cpt_params = pmesh.replicate(mesh, self.cpt_params)
         # f32 scoring regardless of the serving dtype (top-k order is
         # the product; bf16 fc rows from the encoder cast up here)
         cpt_apply = jax.jit(
@@ -185,8 +196,8 @@ class ServeApp:
                                       fc.astype(jnp.float32),
                                       self.num_concepts)[1])
 
-        enc_apply = _load_encoder(a.resnet101_ckpt, a.compute_dtype) \
-            if a.resnet101_ckpt else None
+        enc_apply = _load_encoder(a.resnet101_ckpt, a.compute_dtype,
+                                  mesh) if a.resnet101_ckpt else None
         # the encode batcher exists even without an encoder: feature-mode
         # concept top-k batches through it instead of running bs=1
         self.enc_batcher = serving_daemon.EncodeBatcher(
@@ -194,8 +205,9 @@ class ServeApp:
             shape_buckets=self.image_shapes,
             batch_buckets=(tuple(json.loads(a.enc_bucket_sizes))
                            if a.enc_bucket_sizes
-                           else serving_daemon.DEFAULT_ENCODE_BUCKETS),
-            max_wait_s=a.max_wait_ms / 1e3)
+                           else serving_daemon.default_encode_buckets(
+                               mesh)),
+            max_wait_s=a.max_wait_ms / 1e3, mesh=mesh)
         with open(a.sentiment_detector_json) as f:
             self.senti_table = json.load(f)
         if a.warm:

@@ -17,6 +17,7 @@ average pool of the final conv map.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List
 
 import jax
@@ -32,6 +33,12 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 LAYERS = (3, 4, 23, 3)
 MIDS = (64, 128, 256, 512)
 EXPANSION = 4
+
+# A/B knob: run forward_raw_batch's conv1 as a space-to-depth 4x4/s1
+# conv (see _stem_conv_s2d). Bit-compatible rewrite of the same
+# arithmetic; default follows the measured verdict
+# (tools/profile_encoder.py s2d — DESIGN.md round 4).
+_S2D_STEM = int(os.environ.get("ISC_S2D_STEM", "0"))
 
 
 def _conv_init(key, kh, kw, cin, cout):
@@ -90,6 +97,38 @@ def _conv(p, x, stride, pad):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _s2d_kernel(w):
+    """conv1's [7,7,cin,cout] kernel re-indexed for space-to-depth pixels:
+    w2[ki,kj,(a*2+b)*cin+c] = w[2ki+a, 2kj+b, c] (zero where the source
+    tap 2k+a exceeds 6). Pure reshape/transpose on a zero-padded [8,8]
+    kernel, so it constant-folds at compile time when w is a closure
+    constant."""
+    kh, kw, cin, cout = w.shape
+    wp = jnp.pad(w, ((0, 8 - kh), (0, 8 - kw), (0, 0), (0, 0)))
+    return wp.reshape(4, 2, 4, 2, cin, cout) \
+        .transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, cout)
+
+
+def _stem_conv_s2d(w7, x):
+    """The stem's 7x7/stride-2/pad-3 conv computed as a 4x4/stride-1
+    VALID conv over space-to-depth pixels — identical arithmetic, MXU-
+    friendlier tiling (contraction depth 4*4*12=192 vs 147 with no
+    stride-2 window walk). Requires even H, W (every production bucket
+    shape is). Derivation: out[i,j] reads padded rows u = 2i + di,
+    di in [0,6]; packing pixel parity into channels (x2[q,(a,b,c)] =
+    xp[2q+a, 2q'+b, c]) maps tap di = 2ki+a to kernel position ki — the
+    di=7 taps are the zero pads in _s2d_kernel."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hq, wq = (H + 6) // 2, (W + 6) // 2
+    x2 = xp.reshape(B, hq, 2, wq, 2, C).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(B, hq, wq, 4 * C)
+    out = jax.lax.conv_general_dilated(
+        x2, _s2d_kernel(w7), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out[:, :H // 2, :W // 2]
+
+
 def _ceil_maxpool_3x3s2(x):
     """MaxPool2d(kernel=3, stride=2, padding=0, ceil_mode=True)
     (reference encoder.py:12). Ceil mode pads only on the bottom/right with
@@ -136,7 +175,8 @@ def forward_batch(params, imgs, att_size: int = 14):
     return _trunk(params, x, att_size)
 
 
-def forward_raw_batch(params, imgs, att_size: int = 14):
+def forward_raw_batch(params, imgs, att_size: int = 14,
+                      s2d_stem: bool = None):
     """TPU-side entry for RAW uint8 batches (imgs: [N, H, W, 3] uint8):
     the host ships 4x fewer bytes than the float path and the ImageNet
     normalize runs as part of conv1 — no host numpy normalize, no extra
@@ -153,15 +193,25 @@ def forward_raw_batch(params, imgs, att_size: int = 14):
     band where zero-padding contributes 0 rather than b). Both terms are
     shape-static; XLA constant-folds the offset map at compile time.
     Numerics match preprocess()+forward_batch to float-reassociation
-    tolerance (tests/test_encoder.py::test_forward_raw_batch_parity)."""
+    tolerance (tests/test_encoder.py::test_forward_raw_batch_parity).
+
+    ``s2d_stem`` (default: the ISC_S2D_STEM env knob) runs conv1 as the
+    space-to-depth rewrite (_stem_conv_s2d) when the spatial extents are
+    even; odd extents keep the direct conv (only the ``exact`` bucket
+    mode can produce them — the resize ladder is all-even)."""
     # compute dtype follows the params (bf16 under the serving policy —
     # uint8 pixel values 0..255 are exactly representable in bf16)
+    if s2d_stem is None:
+        s2d_stem = bool(_S2D_STEM)
     dt = params["conv1"]["w"].dtype
     x = imgs.astype(dt)
     a = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), dt)
     b = jnp.asarray(-IMAGENET_MEAN / IMAGENET_STD, dt)
     w_folded = {"w": params["conv1"]["w"] * a[None, None, :, None]}
-    xc = _conv(w_folded, x, 2, 3)
+    if s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        xc = _stem_conv_s2d(w_folded["w"], x)
+    else:
+        xc = _conv(w_folded, x, 2, 3)
     offset_src = jnp.broadcast_to(b, (1,) + tuple(x.shape[1:3]) + (3,))
     offset_map = _conv(params["conv1"], offset_src, 2, 3)
     x = jax.nn.relu(_bn(params["bn1"], xc + offset_map))

@@ -82,6 +82,14 @@ def default_buckets(mesh=None) -> Tuple[int, ...]:
     return tuple(sorted({-(-b // n) * n for b in DEFAULT_BUCKETS}))
 
 
+def default_encode_buckets(mesh=None) -> Tuple[int, ...]:
+    """default_buckets for the encode stage's batch ladder."""
+    if mesh is None:
+        return DEFAULT_ENCODE_BUCKETS
+    n = int(mesh.shape["data"])
+    return tuple(sorted({-(-b // n) * n for b in DEFAULT_ENCODE_BUCKETS}))
+
+
 class Saturated(RuntimeError):
     """Request queue full past enqueue_timeout — shed load upstream
     (the HTTP layer maps this to 503)."""
@@ -110,6 +118,9 @@ class _BatcherBase:
                  bucket_keys: Sequence, name: str):
         self._cap_n = int(cap_n)
         self._max_wait_s = float(max_wait_s)
+        # mesh-mode subclasses set a NamedSharding BEFORE super().__init__
+        # (see _stage); single-device batchers leave it None
+        self._batch_sharding = getattr(self, "_batch_sharding", None)
         self._q: "queue.Queue[Optional[_RequestBase]]" = \
             queue.Queue(max_queue)
         # dispatched-but-unmaterialized batches; bound = 2 batches in
@@ -237,6 +248,16 @@ class _BatcherBase:
         with self._space:
             self._space.notify_all()
         return batch
+
+    def _stage(self, x):
+        """Host array -> device. Host-side dtype casts happen BEFORE
+        shipping (bf16 halves link bytes); in mesh mode device_put shards
+        the host array straight across the data axis (no single-device
+        bounce). Shared by _dispatch and warm() so both produce the same
+        input-sharding signature (one jit executable per bucket)."""
+        if self._batch_sharding is not None:
+            return jax.device_put(x, self._batch_sharding)
+        return jnp.asarray(x)
 
     def _loop(self) -> None:
         while True:
@@ -430,16 +451,6 @@ class DynamicBatcher(_BatcherBase):
 
     # -- dispatch/finish --------------------------------------------------
 
-    def _stage(self, x):
-        """Host array -> device. Host-side dtype casts happen BEFORE
-        shipping (bf16 halves link bytes); in mesh mode device_put shards
-        the host array straight across the data axis (no single-device
-        bounce). Shared by _dispatch and warm() so both produce the same
-        input-sharding signature (one jit executable per bucket)."""
-        if self._batch_sharding is not None:
-            return jax.device_put(x, self._batch_sharding)
-        return jnp.asarray(x)
-
     def _dispatch(self, batch: List[_Request]) -> None:
         """Stage 1: stack, ship, launch the device programs. JAX dispatch
         is asynchronous, so the returned arrays are futures — they go to
@@ -555,6 +566,13 @@ class EncodeBatcher(_BatcherBase):
     batch_buckets : ascending batch ladder shared by all shape groups
         (and the feature-mode group). One compile per (shape, batch)
         pair.
+    mesh : optional jax.sharding.Mesh — multi-chip encode: batches shard
+        over the mesh's `data` axis (the encoder is pure-XLA conv, so
+        plain GSPMD partitions it — no shard_map needed, unlike the
+        decode program's pallas kernels). enc_apply/cpt_apply must close
+        over params REPLICATED on the same mesh (parallel.mesh.replicate)
+        and every batch bucket must be a multiple of the data-axis size
+        (default_encode_buckets(mesh) rounds the default ladder).
     """
 
     def __init__(self, enc_apply: Optional[Callable],
@@ -562,10 +580,21 @@ class EncodeBatcher(_BatcherBase):
                  fc_dim: int,
                  shape_buckets: Sequence[Tuple[int, int]],
                  batch_buckets: Sequence[int] = DEFAULT_ENCODE_BUCKETS,
-                 max_wait_s: float = 0.005, max_queue: int = 1024):
+                 max_wait_s: float = 0.005, max_queue: int = 1024,
+                 mesh=None):
         if list(batch_buckets) != sorted(set(batch_buckets)):
             raise ValueError(f"batch_buckets must be ascending/unique: "
                              f"{batch_buckets}")
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_data = int(mesh.shape["data"])
+            bad = [b for b in batch_buckets if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} are not multiples of the mesh "
+                    f"data axis ({n_data}) — use "
+                    f"default_encode_buckets(mesh) or pass multiples")
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self._enc_apply = enc_apply
         self._cpt_apply = cpt_apply
         self._fc_dim = int(fc_dim)
@@ -631,12 +660,12 @@ class EncodeBatcher(_BatcherBase):
             if key == _FC_KEY:
                 fcs = np.stack([r.fc for r in rs]
                                + [rs[-1].fc] * pad)
-                top = self._cpt_apply(jnp.asarray(fcs))
+                top = self._cpt_apply(self._stage(fcs))
                 launched.append((rs, key, pad, None, None, top))
             else:
                 imgs = np.stack([r.img for r in rs]
                                 + [rs[-1].img] * pad)
-                fc, att = self._enc_apply(jnp.asarray(imgs))
+                fc, att = self._enc_apply(self._stage(imgs))
                 top = self._cpt_apply(fc)
                 launched.append((rs, key, pad, fc, att, top))
         self._fq.put(launched)
@@ -665,13 +694,16 @@ class EncodeBatcher(_BatcherBase):
         compiles (full ResNet trunk) — pass a sub-ladder to trim startup
         time at the cost of one live compile per untouched bucket."""
         for b in (batch_buckets or self._batch_buckets):
+            # _stage, not jnp.asarray: jit caches per input SHARDING, so
+            # in mesh mode an unsharded warmup would compile programs
+            # real traffic never reuses
             if self._enc_apply is not None:
                 for h, w in self._shapes:
                     fc, _ = self._enc_apply(
-                        jnp.asarray(np.zeros((b, h, w, 3), np.uint8)))
+                        self._stage(np.zeros((b, h, w, 3), np.uint8)))
                     np.asarray(self._cpt_apply(fc)).sum()  # sync (scalar)
             top = self._cpt_apply(
-                jnp.asarray(np.zeros((b, self._fc_dim), np.float32)))
+                self._stage(np.zeros((b, self._fc_dim), np.float32)))
             np.asarray(top).sum()
 
 

@@ -397,7 +397,7 @@ def test_j2_serve_daemon_image_mode(workdir, monkeypatch):
         return fc, att
 
     monkeypatch.setattr(serve_cli, "_load_encoder",
-                        lambda ck, dt: fake_enc)
+                        lambda ck, dt, mesh=None: fake_enc)
 
     imgs_dir = "data/serve_imgs"
     os.makedirs(imgs_dir, exist_ok=True)

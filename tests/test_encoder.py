@@ -170,6 +170,33 @@ def test_forward_raw_batch_parity():
                                rtol=5e-3, atol=1e-4 * scale)
 
 
+def test_s2d_stem_parity():
+    """The ISC_S2D_STEM rewrite (conv1 as a 4x4/s1 conv over
+    space-to-depth pixels, encoder._stem_conv_s2d) is the same
+    arithmetic re-tiled: forward_raw_batch(s2d_stem=True) must match
+    the direct stem to reassociation tolerance on even extents, and the
+    knob must fall back to the direct conv on odd extents (exact bucket
+    mode can produce them)."""
+    import jax
+    params = enc.init_params(jax.random.PRNGKey(3))
+    g = np.random.default_rng(11)
+    raw = g.integers(0, 256, size=(2, 64, 58, 3)).astype(np.uint8)
+
+    fc_d, att_d = enc.forward_raw_batch(params, raw, s2d_stem=False)
+    fc_s, att_s = enc.forward_raw_batch(params, raw, s2d_stem=True)
+    fscale = float(np.abs(np.asarray(fc_d)).max())
+    np.testing.assert_allclose(np.asarray(fc_s), np.asarray(fc_d),
+                               rtol=5e-3, atol=1e-5 * fscale)
+    scale = float(np.abs(np.asarray(att_d)).max())
+    np.testing.assert_allclose(np.asarray(att_s), np.asarray(att_d),
+                               rtol=5e-3, atol=1e-4 * scale)
+
+    raw_odd = g.integers(0, 256, size=(1, 65, 58, 3)).astype(np.uint8)
+    fc_od, _ = enc.forward_raw_batch(params, raw_odd, s2d_stem=False)
+    fc_os, _ = enc.forward_raw_batch(params, raw_odd, s2d_stem=True)
+    np.testing.assert_array_equal(np.asarray(fc_os), np.asarray(fc_od))
+
+
 def test_bucket_assignment_and_resize():
     from insenticap_model_tpu import preprocessing as pp
     shapes = pp.DEFAULT_BUCKET_SHAPES

@@ -515,6 +515,67 @@ def test_encode_batcher_warm_precompiles_ladder():
         b.close()
 
 
+def test_encode_batcher_mesh_mode_matches_single_device():
+    """mesh= shards encode batches over the data axis via plain GSPMD
+    (the encoder is pure-XLA conv — no shard_map needed): per-row
+    results must equal the unsharded batcher, warm() must stage the
+    production sharding signature, and the ladder must be data-axis
+    multiples (default_encode_buckets rounds the default ladder)."""
+    from insenticap_model_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = pmesh.make_mesh((4,))
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(0),
+                                     (3, 3, 3, 24)), np.float32)
+
+    def make_apply(wp):
+        def f(x):
+            h = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32) / 255.0, wp, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return h.mean((1, 2)), h[:, :7, :7, :]
+        return jax.jit(f)
+
+    cpt = jax.jit(
+        lambda fc: jnp.argsort(-fc, axis=-1)[:, :3].astype(jnp.int32))
+    g = np.random.default_rng(3)
+    imgs = [g.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+            for _ in range(8)]
+
+    def run(mesh_arg, wp):
+        b = serving_daemon.EncodeBatcher(
+            make_apply(wp), cpt, fc_dim=24, shape_buckets=((16, 16),),
+            batch_buckets=(4, 8), max_wait_s=0.25, mesh=mesh_arg)
+        try:
+            b.warm()
+            out = [None] * 8
+            ts = [threading.Thread(
+                target=lambda i=i: out.__setitem__(
+                    i, b.submit_image(imgs[i], timeout=300)))
+                for i in range(8)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            return out
+        finally:
+            b.close()
+
+    sharded = run(mesh, pmesh.replicate(mesh, jnp.asarray(w)))
+    plain = run(None, jnp.asarray(w))
+    for (fc_s, att_s, top_s), (fc_p, att_p, top_p) in zip(sharded, plain):
+        np.testing.assert_allclose(fc_s, fc_p, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(att_s, att_p, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(top_s, top_p)
+
+    with pytest.raises(ValueError, match="not multiples of the mesh"):
+        serving_daemon.EncodeBatcher(
+            make_apply(w), cpt, fc_dim=24, shape_buckets=((16, 16),),
+            batch_buckets=(1, 2), mesh=mesh)
+    assert serving_daemon.default_encode_buckets(mesh) == (4, 16, 32)
+    assert serving_daemon.default_encode_buckets(None) == (1, 4, 16, 32)
+
+
 def test_encode_batcher_errors_delivered_not_fatal():
     class Boom(_FakeEncode):
         def __call__(self, imgs):

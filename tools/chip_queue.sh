@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 chip-gated measurement queue (DESIGN.md "Round-4 summary" —
+# PENDING list). Run on the DEFAULT env (axon TPU backend) once the
+# tunnel is up; each stage logs to $OUT and prints its tail.
+#
+#   bash tools/chip_queue.sh [outdir]
+#
+# Order matters: bench.py first (BENCH_r04 regression check gates
+# everything else), then the queued A/Bs and profiles.
+set -u
+OUT=${1:-/tmp/chip_r4}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {
+    local name=$1 t=$2
+    shift 2
+    echo "=== $name: $* (start $(date -u +%H:%M:%S), timeout ${t}s)"
+    timeout "$t" "$@" > "$OUT/$name.log" 2>&1
+    echo "--- rc=$? (end $(date -u +%H:%M:%S)); tail:"
+    tail -6 "$OUT/$name.log"
+    echo
+}
+
+run bench              1800 python bench.py
+run ab_scan_unroll     2400 python tools/ab_scan_unroll.py
+run profile_encoder    2400 python tools/profile_encoder.py both
+run bench_daemon_image 1800 python tools/bench_daemon.py image
+run bench_calibrated   1800 env ISC_BENCH_CALIBRATED=1 python bench.py
+
+echo "all stage logs in $OUT"

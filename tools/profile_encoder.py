@@ -186,61 +186,34 @@ def profile(bs, hw, iters):
 
 
 # ---------------------------------------------------------------------------
-# space-to-depth stem
+# space-to-depth stem A/B (the PRODUCTION implementations: direct =
+# forward_raw_batch's default stem, s2d = the ISC_S2D_STEM path —
+# encoder._stem_conv_s2d; this tool is the measured verdict behind that
+# knob's default)
 # ---------------------------------------------------------------------------
 
-def s2d_weights(w7):
-    """[7,7,3,64] -> [4,4,12,64]: w2[ki,kj,(a,b,c)] = w7[2ki+a, 2kj+b, c]
-    (zero where 2k+a > 6). Derivation: out[i,j] convolves the 3-padded
-    input at u = 2i + (di), di∈[0,6]; with pixels s2d'd as
-    X2[q,(a,·)] = X[2q+a], u = 2(i+k)+a maps tap di=2k+a to kernel
-    position k — identical arithmetic, stride-1 4×4×12 contraction."""
-    w7 = np.asarray(w7)
-    w2 = np.zeros((4, 4, 2, 2, w7.shape[2], w7.shape[3]), w7.dtype)
-    for ki in range(4):
-        for a in range(2):
-            if 2 * ki + a > 6:
-                continue
-            for kj in range(4):
-                for b in range(2):
-                    if 2 * kj + b > 6:
-                        continue
-                    w2[ki, kj, a, b] = w7[2 * ki + a, 2 * kj + b]
-    return w2.reshape(4, 4, 4 * w7.shape[2], w7.shape[3])
-
-
-def make_s2d_stem(params):
-    """Space-to-depth raw-uint8 stem, numerically equal to the direct
-    forward_raw_batch stem (normalize fold + offset map included). The
-    weight transform runs EAGERLY once (concrete params), so the
-    returned fn is jit-safe."""
+def _make_stems(params):
+    """(direct_stem, s2d_stem): raw-uint8 -> post-relu stem activations,
+    both with the normalize fold + offset map exactly as
+    forward_raw_batch composes them."""
     dt = params["conv1"]["w"].dtype
-    a_np = (1.0 / (255.0 * enc.IMAGENET_STD)).astype(np.float32)
-    w2 = jnp.asarray(s2d_weights(
-        np.asarray(params["conv1"]["w"], np.float32)
-        * a_np[None, None, :, None])).astype(dt)
-    return lambda x_u8: _s2d_stem(params, w2, x_u8)
-
-
-def _s2d_stem(params, w2, x_u8):
-    dt = params["conv1"]["w"].dtype
-    B, H, W, C = x_u8.shape
+    a = jnp.asarray(1.0 / (255.0 * enc.IMAGENET_STD), dt)
     b_ = jnp.asarray(-enc.IMAGENET_MEAN / enc.IMAGENET_STD, dt)
+    wf = {"w": params["conv1"]["w"] * a[None, None, :, None]}
 
-    x = x_u8.astype(dt)
-    assert H % 2 == 0 and W % 2 == 0, "s2d stem assumes even extents"
-    # pad 3 each side (conv1's padding); H+6 is even for even H
-    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    hq, wq = (H + 6) // 2, (W + 6) // 2
-    x2 = xp.reshape(B, hq, 2, wq, 2, C).transpose(0, 1, 3, 2, 4, 5) \
-        .reshape(B, hq, wq, 4 * C)
-    xc = jax.lax.conv_general_dilated(
-        x2, w2, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :H // 2, :W // 2]
-    # offset map: same constant-fold as forward_raw_batch
-    off_src = jnp.broadcast_to(b_, (1, H, W, C))
-    off = enc._conv(params["conv1"], off_src, 2, 3)
-    return jax.nn.relu(enc._bn(params["bn1"], xc + off))
+    def tail(xc, hw):
+        off_src = jnp.broadcast_to(b_, (1,) + tuple(hw) + (3,))
+        off = enc._conv(params["conv1"], off_src, 2, 3)
+        return jax.nn.relu(enc._bn(params["bn1"], xc + off))
+
+    def direct_stem(xx):
+        return tail(enc._conv(wf, xx.astype(dt), 2, 3), xx.shape[1:3])
+
+    def s2d_stem(xx):
+        return tail(enc._stem_conv_s2d(wf["w"], xx.astype(dt)),
+                    xx.shape[1:3])
+
+    return direct_stem, s2d_stem
 
 
 def s2d_ab(bs, hw, iters):
@@ -248,17 +221,7 @@ def s2d_ab(bs, hw, iters):
     g = np.random.default_rng(0)
     x = g.integers(0, 256, size=(bs,) + hw + (3,)).astype(np.uint8)
 
-    def direct_stem(xx):
-        dt = params["conv1"]["w"].dtype
-        a = jnp.asarray(1.0 / (255.0 * enc.IMAGENET_STD), dt)
-        b_ = jnp.asarray(-enc.IMAGENET_MEAN / enc.IMAGENET_STD, dt)
-        wf = {"w": params["conv1"]["w"] * a[None, None, :, None]}
-        xc = enc._conv(wf, xx.astype(dt), 2, 3)
-        off_src = jnp.broadcast_to(b_, (1,) + tuple(xx.shape[1:3]) + (3,))
-        off = enc._conv(params["conv1"], off_src, 2, 3)
-        return jax.nn.relu(enc._bn(params["bn1"], xc + off))
-
-    s2d = make_s2d_stem(params)
+    direct_stem, s2d = _make_stems(params)
     y_direct = np.asarray(jax.jit(direct_stem)(x), np.float32)
     y_s2d = np.asarray(jax.jit(s2d)(x), np.float32)
     err = np.abs(y_s2d - y_direct).max() / max(np.abs(y_direct).max(),
@@ -277,14 +240,12 @@ def s2d_ab(bs, hw, iters):
     print(f"stem A/B bs={bs} {hw[0]}x{hw[1]} bf16: direct {td * 1e3:.3f} ms "
           f"vs s2d {ts_ * 1e3:.3f} ms -> {td / ts_:.2f}x", flush=True)
 
-    # end-to-end: the stem feeds the same trunk either way
+    # end-to-end: the production entry with the knob explicit both ways
     def full_direct(v):
-        return enc.forward_raw_batch(params, v)[0].sum()
+        return enc.forward_raw_batch(params, v, s2d_stem=False)[0].sum()
 
     def full_s2d(v):
-        h = s2d(v)
-        fc, att = enc._trunk(params, h, 14)
-        return fc.sum()
+        return enc.forward_raw_batch(params, v, s2d_stem=True)[0].sum()
 
     t_fd = _scan_time(full_direct, xj, max(2, iters // 4))
     t_fs = _scan_time(full_s2d, xj, max(2, iters // 4))
