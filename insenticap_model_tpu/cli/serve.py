@@ -46,6 +46,7 @@ import argparse
 import base64
 import json
 import os
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -56,6 +57,7 @@ from .. import preprocessing, serving_daemon
 from ..models import concept_detector as cpt_det
 from ..models import encoder as enc
 from ..training import checkpoint as ckpt
+from ..utils.dtypes import cast_bf16
 from . import common
 
 
@@ -134,10 +136,7 @@ def _load_encoder(resnet101_ckpt: str, compute_dtype: str, mesh=None):
         # forward_raw_batch computes in the params' dtype; bf16 here =
         # the measured encoder serving policy (tools/bench_encoder.py).
         # EncodeBatcher hands results back as f32.
-        enc_params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if np.issubdtype(np.asarray(x).dtype, np.floating)
-            else x, enc_params)
+        enc_params = cast_bf16(enc_params)
     if mesh is not None:
         from ..parallel import mesh as pmesh
         enc_params = pmesh.replicate(mesh, enc_params)
@@ -237,11 +236,21 @@ class ServeApp:
             raise ValueError("image_path mode is disabled: start the "
                              "daemon with --image_root, or send "
                              "image_b64")
-        real = os.path.realpath(path)
+        # lexical containment first — rejects plainly-out-of-root paths
+        # with ZERO filesystem contact (realpath walks/stats every
+        # component, an existence/timing oracle for arbitrary client
+        # paths) — then realpath to stop symlinks inside the root from
+        # escaping it. Both rejections share one uniform message. The
+        # pre-filter also drops lexically-outside aliases that would
+        # have realpath'd into the root; that narrowing only ever
+        # denies, never widens.
+        lexical = os.path.abspath(path)
+        if lexical != self.image_root and \
+                not lexical.startswith(self.image_root + os.sep):
+            raise ValueError("image_path outside --image_root")
+        real = os.path.realpath(lexical)
         if real != self.image_root and \
                 not real.startswith(self.image_root + os.sep):
-            # uniform message BEFORE any filesystem access: out-of-root
-            # probes learn nothing about what exists there
             raise ValueError("image_path outside --image_root")
         return preprocessing.to_rgb_uint8(preprocessing.load_image(real))
 
@@ -251,6 +260,10 @@ class ServeApp:
             timeout = min(max(float(timeout), 0.001), 3600.0)
         except (TypeError, ValueError):
             raise ValueError(f"bad timeout {timeout!r}")
+        # one budget across BOTH pipeline stages: the decode submit gets
+        # whatever the encode stage left, so a request 504s within
+        # ~timeout of arrival instead of up to 2x
+        deadline = time.monotonic() + timeout
 
         if "fc" in payload:
             fc = np.asarray(payload["fc"], np.float32)
@@ -277,7 +290,8 @@ class ServeApp:
         forced = serving_daemon.AUTO if want == "auto" \
             else self.cats.index(want)
         seqs, scores, label = self.batcher.submit(
-            fc, att, sentis, forced_label=forced, timeout=timeout,
+            fc, att, sentis, forced_label=forced,
+            timeout=max(0.001, deadline - time.monotonic()),
             enqueue_timeout=self.queue_timeout_s)
         return {"caption": self.vocab.decode_to_text(seqs[0]),
                 "sentiment": self.cats[label],

@@ -56,6 +56,7 @@ import numpy as np
 from . import inference
 from .models import captioner as cap
 from .models import sentiment_detector as senti_det
+from .utils.dtypes import cast_bf16
 
 AUTO = -1  # submit(forced_label=AUTO) -> use the image sentiment detector
 
@@ -72,22 +73,35 @@ DEFAULT_ENCODE_BUCKETS = (1, 4, 16, 32)
 _LAT_WINDOW = 1024
 
 
-def default_buckets(mesh=None) -> Tuple[int, ...]:
-    """The default bucket ladder; under a mesh every bucket rounds UP to
-    a multiple of the data-axis size (each device needs an equal shard),
-    deduped — e.g. (1,8,32,128,384) on an 8-device mesh -> (8,32,128,384)."""
+def _round_ladder(buckets: Sequence[int], mesh) -> Tuple[int, ...]:
+    """Round a bucket ladder UP to data-axis multiples (each device
+    needs an equal shard), deduped — e.g. (1,8,32,128,384) on an
+    8-device mesh -> (8,32,128,384). No-op without a mesh."""
     if mesh is None:
-        return DEFAULT_BUCKETS
+        return tuple(buckets)
     n = int(mesh.shape["data"])
-    return tuple(sorted({-(-b // n) * n for b in DEFAULT_BUCKETS}))
+    return tuple(sorted({-(-b // n) * n for b in buckets}))
+
+
+def _require_mesh_multiples(buckets: Sequence[int], mesh, hint: str):
+    """Explicit bucket ladders must already be data-axis multiples —
+    a silently rounded explicit value would compile surprise shapes."""
+    n = int(mesh.shape["data"])
+    bad = [b for b in buckets if b % n]
+    if bad:
+        raise ValueError(
+            f"bucket sizes {bad} are not multiples of the mesh data "
+            f"axis ({n}) — use {hint} or pass multiples")
+
+
+def default_buckets(mesh=None) -> Tuple[int, ...]:
+    """The default decode-stage bucket ladder (mesh-rounded)."""
+    return _round_ladder(DEFAULT_BUCKETS, mesh)
 
 
 def default_encode_buckets(mesh=None) -> Tuple[int, ...]:
-    """default_buckets for the encode stage's batch ladder."""
-    if mesh is None:
-        return DEFAULT_ENCODE_BUCKETS
-    n = int(mesh.shape["data"])
-    return tuple(sorted({-(-b // n) * n for b in DEFAULT_ENCODE_BUCKETS}))
+    """The default encode-stage batch ladder (mesh-rounded)."""
+    return _round_ladder(DEFAULT_ENCODE_BUCKETS, mesh)
 
 
 class Saturated(RuntimeError):
@@ -158,14 +172,17 @@ class _BatcherBase:
                           enqueue_timeout: Optional[float]):
         """Shared submit tail: enqueue (Condition-blocked when the queue
         is full), wait for completion, deliver result or raise."""
+        # t0 stamps SUBMIT time, before any wait for queue space — the
+        # stats() percentiles must include saturation queueing delay,
+        # which is exactly when an operator reads them
+        r.t0 = time.monotonic()
         deadline = None if enqueue_timeout is None \
-            else time.monotonic() + enqueue_timeout
+            else r.t0 + enqueue_timeout
         with self._space:
             while True:
                 if self._closed:
                     raise RuntimeError("batcher is closed")
                 try:
-                    r.t0 = time.monotonic()
                     self._q.put_nowait(r)
                     break
                 except queue.Full:
@@ -358,14 +375,8 @@ class DynamicBatcher(_BatcherBase):
             raise ValueError(f"bucket_sizes must be ascending/unique: "
                              f"{bucket_sizes}")
         if mesh is not None:
-            n_data = int(mesh.shape["data"])
-            bad = [b for b in bucket_sizes if b % n_data]
-            if bad:
-                raise ValueError(
-                    f"bucket sizes {bad} are not multiples of the mesh "
-                    f"data-axis size {n_data}; each device must get an "
-                    f"equal shard (e.g. use "
-                    f"{sorted({-(-b // n_data) * n_data for b in bucket_sizes})})")
+            _require_mesh_multiples(bucket_sizes, mesh,
+                                    "default_buckets(mesh)")
         self._ids = ids
         # bf16 is the measured TPU serving policy (CLAUDE.md / bench.py):
         # params cast once here, features cast HOST-side per batch — that
@@ -375,12 +386,8 @@ class DynamicBatcher(_BatcherBase):
         self._feat_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
             else jnp.float32
         if compute_dtype == "bfloat16":
-            castf = lambda t: jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
-                t)
-            cap_params = castf(cap_params)
-            senti_params = castf(senti_params)
+            cap_params = cast_bf16(cap_params)
+            senti_params = cast_bf16(senti_params)
         # every program shape is static: per-row feature shapes are fixed
         # at construction and enforced in submit() — a drifting shape
         # would otherwise trigger a silent multi-minute recompile
@@ -587,13 +594,8 @@ class EncodeBatcher(_BatcherBase):
                              f"{batch_buckets}")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            n_data = int(mesh.shape["data"])
-            bad = [b for b in batch_buckets if b % n_data]
-            if bad:
-                raise ValueError(
-                    f"batch buckets {bad} are not multiples of the mesh "
-                    f"data axis ({n_data}) — use "
-                    f"default_encode_buckets(mesh) or pass multiples")
+            _require_mesh_multiples(batch_buckets, mesh,
+                                    "default_encode_buckets(mesh)")
             self._batch_sharding = NamedSharding(mesh, P("data"))
         self._enc_apply = enc_apply
         self._cpt_apply = cpt_apply

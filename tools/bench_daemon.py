@@ -173,12 +173,10 @@ def image():
     per_thread = 4 if on_tpu else 2
     n_cpt, n_reqs = 5, 64
 
+    from insenticap_model_tpu.utils.dtypes import cast_bf16
     params = enc.init_params(jax.random.PRNGKey(0))
     if on_tpu:  # the measured encoder serving policy
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
-            params)
+        params = cast_bf16(params)
     enc_apply = jax.jit(lambda x: enc.forward_raw_batch(params, x))
     cs = Settings()
     cpt_params = cpt_det.init_params(jax.random.PRNGKey(1), 100, cs)
@@ -225,7 +223,11 @@ def image():
     for k in range(bucket * per_thread):
         fc1, att1 = enc_apply(jnp.asarray(imgs[k % n_reqs][None]))
         top = cpt_apply(fc1)
-        np.asarray(top)                     # per-request materialization
+        # materialize everything the retired path handed the decode
+        # stage — on the tunnel att's [1,14,14,F] device->host transfer
+        # is a dominant per-request cost; skipping it would flatter the
+        # baseline and overstate nothing/understate the batched win
+        np.asarray(fc1), np.asarray(att1), np.asarray(top)
     bs1 = bucket * per_thread / (time.perf_counter() - t0)
 
     lat = np.asarray(sorted(lat))

@@ -22,10 +22,16 @@ run() {
     echo
 }
 
-run bench              1800 python bench.py
+# bench.py's internal outage watchdog (init wait 300 + total budget
+# 2400 = bounded 2700) must fire BEFORE the external timeout (3000),
+# or a mid-run tunnel drop reproduces the r3 rc=124/no-output shape
+# with an empty bench.log instead of the labeled JSON failure record.
+BENCH_ENV="env ISC_BENCH_INIT_WAIT_S=300 ISC_BENCH_TOTAL_BUDGET_S=2400"
+
+run bench              3000 $BENCH_ENV python bench.py
 run ab_scan_unroll     2400 python tools/ab_scan_unroll.py
 run profile_encoder    2400 python tools/profile_encoder.py both
 run bench_daemon_image 1800 python tools/bench_daemon.py image
-run bench_calibrated   1800 env ISC_BENCH_CALIBRATED=1 python bench.py
+run bench_calibrated   3000 $BENCH_ENV env ISC_BENCH_CALIBRATED=1 python bench.py
 
 echo "all stage logs in $OUT"

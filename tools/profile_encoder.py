@@ -42,10 +42,7 @@ PEAK_BF16 = 197e12      # FLOP/s
 PEAK_HBM = 819e9        # B/s
 
 
-def _cast_bf16(t):
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if np.issubdtype(np.asarray(x).dtype, np.floating) else x, t)
+from insenticap_model_tpu.utils.dtypes import cast_bf16 as _cast_bf16  # noqa: E402
 
 
 def _scan_time(fn, x, iters, reps=5):
