@@ -23,7 +23,9 @@ Endpoints (JSON over HTTP):
                                    additionally needs --image_root
                -> {"caption", "sentiment", "score", "concepts"}
   GET  /stats  -> decode-batcher stats (+"encode": encode-batcher stats)
-  GET  /healthz-> {"ok": true}
+  GET  /healthz-> {"ok": true}; 503 {"ok": false, "stalled_s": N} when
+                  a worker thread has been wedged on the device longer
+                  than --unhealthy_after_s (dead backend link)
 
 Feature mode serves fc/att rows straight from a feature store (the
 reference's h5 contract); image mode decodes + resizes host-side onto
@@ -105,6 +107,11 @@ def build_parser():
                    help="how long a request waits for queue space when "
                         "the daemon is saturated before it is shed with "
                         "HTTP 503")
+    p.add_argument("--unhealthy_after_s", type=float, default=120.0,
+                   help="/healthz flips to 503 when a dispatch or "
+                        "completion step has been stuck on the device "
+                        "longer than this (a dead backend link wedges "
+                        "worker threads forever)")
     p.add_argument("--max_body_mb", type=float, default=64.0,
                    help="reject request bodies above this with 413 before "
                         "reading (a full fc+att JSON payload is ~5 MB)")
@@ -177,6 +184,7 @@ class ServeApp:
         self.num_concepts = a.num_concepts
         self.num_sentiments = a.num_sentiments
         self.queue_timeout_s = a.queue_timeout_ms / 1e3
+        self.unhealthy_after_s = a.unhealthy_after_s
         self.image_root = os.path.realpath(a.image_root) \
             if a.image_root else None
         self.image_shapes = (tuple(
@@ -323,7 +331,16 @@ def make_server(a) -> ThreadingHTTPServer:
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"ok": True})
+                stalled = max(app.batcher.stalled_for(),
+                              app.enc_batcher.stalled_for())
+                if stalled >= app.unhealthy_after_s:
+                    # a wedged device runtime (backend link death mid-
+                    # run) pins a worker thread forever; tell the load
+                    # balancer to stop routing here
+                    self._send(503, {"ok": False,
+                                     "stalled_s": round(stalled, 1)})
+                else:
+                    self._send(200, {"ok": True})
             elif self.path == "/stats":
                 self._send(200, app.stats())
             else:

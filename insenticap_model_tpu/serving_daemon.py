@@ -135,6 +135,10 @@ class _BatcherBase:
         # mesh-mode subclasses set a NamedSharding BEFORE super().__init__
         # (see _stage); single-device batchers leave it None
         self._batch_sharding = getattr(self, "_batch_sharding", None)
+        # health watchdog state: monotonic start of the in-progress
+        # dispatch/finish step, None when idle (see stalled_for)
+        self._dispatch_started: Optional[float] = None
+        self._finish_started: Optional[float] = None
         self._q: "queue.Queue[Optional[_RequestBase]]" = \
             queue.Queue(max_queue)
         # dispatched-but-unmaterialized batches; bound = 2 batches in
@@ -282,17 +286,39 @@ class _BatcherBase:
             if batch is None:
                 self._fq.put(None)            # forward shutdown downstream
                 return
+            self._dispatch_started = time.monotonic()
             try:
                 self._dispatch(batch)
             except BaseException as e:  # deliver, don't kill the thread
                 self._fail_batch(batch, e)
+            finally:
+                self._dispatch_started = None
 
     def _finish_loop(self) -> None:
         while True:
             item = self._fq.get()
             if item is None:
                 return
-            self._finish(item)
+            self._finish_started = time.monotonic()
+            try:
+                self._finish(item)
+            finally:
+                self._finish_started = None
+
+    def stalled_for(self) -> float:
+        """Age in seconds of the OLDEST in-progress dispatch/finish
+        step, 0.0 when both threads are idle or draining queues. A
+        wedged device runtime (e.g. the backend link dying mid-run —
+        block_until_ready/transfers never return) pins one of these
+        forever; /healthz surfaces it so load balancers stop routing to
+        a daemon whose worker threads can no longer make progress."""
+        now = time.monotonic()
+        ages = [now - t for t in (self._dispatch_started,
+                                  self._finish_started) if t is not None]
+        return max(ages, default=0.0)
+
+    def healthy(self, max_stall_s: float) -> bool:
+        return self.stalled_for() < max_stall_s
 
     # -- bookkeeping shared by subclasses ------------------------------------
 

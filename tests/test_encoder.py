@@ -197,6 +197,31 @@ def test_s2d_stem_parity():
     np.testing.assert_array_equal(np.asarray(fc_os), np.asarray(fc_od))
 
 
+def test_s2d_stem_conv_parity_at_production_shapes():
+    """Stem-level (conv1 only) f32 parity of _stem_conv_s2d vs the
+    direct conv at EVERY production resize-bucket shape — the shapes the
+    ISC_S2D_STEM knob would actually serve (DEFAULT_BUCKET_SHAPES are
+    all even by construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from insenticap_model_tpu import preprocessing as pp
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (7, 7, 3, 8),
+                          jnp.float32) * 0.1
+    g = np.random.default_rng(6)
+    for h, wd in pp.DEFAULT_BUCKET_SHAPES:
+        x = jnp.asarray(
+            g.normal(size=(1, h, wd, 3)).astype(np.float32))
+        direct = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        s2d = enc._stem_conv_s2d(w, x)
+        assert s2d.shape == direct.shape == (1, h // 2, wd // 2, 8)
+        np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_bucket_assignment_and_resize():
     from insenticap_model_tpu import preprocessing as pp
     shapes = pp.DEFAULT_BUCKET_SHAPES

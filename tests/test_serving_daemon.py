@@ -4,6 +4,7 @@ the direct (unbatched) serving programs — padding/coalescing must be
 invisible in the outputs (per-row independence of the batched beam
 search, proved independently by test_inference's sweep parity)."""
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -574,6 +575,38 @@ def test_encode_batcher_mesh_mode_matches_single_device():
             batch_buckets=(1, 2), mesh=mesh)
     assert serving_daemon.default_encode_buckets(mesh) == (4, 16, 32)
     assert serving_daemon.default_encode_buckets(None) == (1, 4, 16, 32)
+
+
+def test_stall_watchdog_reports_wedged_device_step():
+    """stalled_for() ages while a dispatch step is wedged on the device
+    (what a dead backend link does to block_until_ready/transfers) and
+    drops back to 0 once it completes — the /healthz 503 signal."""
+    release = threading.Event()
+
+    class Wedged(_FakeEncode):
+        def __call__(self, imgs):
+            release.wait(30)
+            return super().__call__(imgs)
+
+    b, enc, cpt = _enc_batcher(enc=Wedged())
+    try:
+        assert b.stalled_for() == 0.0 and b.healthy(0.05)
+        out = {}
+        t = threading.Thread(target=lambda: out.setdefault(
+            "r", b.submit_image(np.zeros((16, 16, 3), np.uint8),
+                                timeout=60)))
+        t.start()
+        deadline = time.monotonic() + 10
+        while b.stalled_for() < 0.1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert b.stalled_for() >= 0.1 and not b.healthy(0.05)
+        release.set()
+        t.join(timeout=30)
+        assert "r" in out
+        assert b.stalled_for() == 0.0 and b.healthy(0.05)
+    finally:
+        release.set()
+        b.close()
 
 
 def test_encode_batcher_errors_delivered_not_fatal():
