@@ -379,19 +379,34 @@ def make_server(a) -> ThreadingHTTPServer:
 
 
 def main(argv=None):
+    import signal
+    import threading
+
     a = build_parser().parse_args(argv)
     srv = make_server(a)
     host, port = srv.server_address[:2]
     print(f"serving on http://{host}:{port} "
           f"(buckets {a.bucket_sizes}, wait {a.max_wait_ms} ms)",
           flush=True)
+
+    # graceful drain on SIGTERM/SIGINT: stop accepting, let in-flight
+    # handler threads finish against still-live batchers (server_close
+    # joins them — block_on_close), THEN close the batchers. shutdown()
+    # must run off the serve_forever thread or it deadlocks.
+    def _drain(signum, frame):
+        print(f"signal {signum}: draining", flush=True)
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        srv.app.close()
-        srv.server_close()
+        srv.server_close()     # joins in-flight handler threads
+        srv.app.close()        # then drains + stops the batchers
+    print("drained, exiting", flush=True)
 
 
 if __name__ == "__main__":

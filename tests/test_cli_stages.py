@@ -490,6 +490,55 @@ def test_j2_serve_daemon_image_mode(workdir, monkeypatch):
         t.join(timeout=30)
 
 
+def test_j3_serve_sigterm_drains_and_exits(workdir):
+    """SIGTERM on the real serve.py process: stop accepting, drain, exit
+    0 with the drain markers (production rollouts depend on graceful
+    termination, not kill -9)."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rl_ck = "checkpoint/rl/coco/part/model_0.ckpt"
+    cpt_ck = sorted(glob.glob("checkpoint/concept/coco/model_*.ckpt"))[-1]
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = sk.getsockname()[1]
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "serve.py"),
+         "--rl_model", rl_ck, "--concept_model", cpt_ck,
+         "--sentiment_detector_json",
+         "data/corpus/part/sentiment_detector.json",
+         "--port", str(port), "--bucket_sizes", "[2]",
+         "--beam_size", "2", "--max_seq_len", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.monotonic() + 120
+        up = False
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz",
+                        timeout=5) as r:
+                    up = r.status == 200
+                    break
+            except Exception:
+                if p.poll() is not None:
+                    break
+                time.sleep(0.25)
+        assert up, f"daemon never came up (rc={p.poll()})"
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=60)
+        assert p.returncode == 0, out
+        assert "draining" in out and "drained, exiting" in out
+    finally:
+        if p.poll() is None:
+            p.kill()
+
+
 def test_k_serve_cli_mesh_wiring(workdir):
     """serve.py --mesh_shape wiring: multi-axis shapes are rejected
     before any model load, and a 1-D mesh adapts the DEFAULT bucket
