@@ -123,7 +123,10 @@ def build_parser():
                    help="e.g. '[8]': data-parallel serving over a 1-D "
                         "device mesh (shard_map per-device programs; every "
                         "bucket size must be a multiple of the data-axis "
-                        "size)")
+                        "size). When the mesh spans jax.distributed "
+                        "processes, run this SAME command on every host "
+                        "(same checkpoints): process 0 serves HTTP, the "
+                        "rest mirror its dispatches in lockstep")
     p.add_argument("--warm", action="store_true",
                    help="pre-compile every bucket before accepting "
                         "traffic (first full-size TPU compile is "
@@ -203,8 +206,15 @@ class ServeApp:
                                       fc.astype(jnp.float32),
                                       self.num_concepts)[1])
 
+        # multi-HOST (--mesh_shape spanning processes): the ENCODE stage
+        # stays process-local on p0 — HTTP + image decode live there, and
+        # shipping raw pixels cross-host for a conv forward buys nothing;
+        # encoded features feed the decode batcher's lockstep path
+        # host-side. Single-host meshes still shard the encode batch.
+        enc_mesh = None if (mesh is not None
+                            and jax.process_count() > 1) else mesh
         enc_apply = _load_encoder(a.resnet101_ckpt, a.compute_dtype,
-                                  mesh) if a.resnet101_ckpt else None
+                                  enc_mesh) if a.resnet101_ckpt else None
         # the encode batcher exists even without an encoder: feature-mode
         # concept top-k batches through it instead of running bs=1
         self.enc_batcher = serving_daemon.EncodeBatcher(
@@ -213,12 +223,14 @@ class ServeApp:
             batch_buckets=(tuple(json.loads(a.enc_bucket_sizes))
                            if a.enc_bucket_sizes
                            else serving_daemon.default_encode_buckets(
-                               mesh)),
-            max_wait_s=a.max_wait_ms / 1e3, mesh=mesh)
+                               enc_mesh)),
+            max_wait_s=a.max_wait_ms / 1e3, mesh=enc_mesh)
         with open(a.sentiment_detector_json) as f:
             self.senti_table = json.load(f)
-        if a.warm:
-            self.batcher.warm()
+        self.is_follower = (mesh is not None and jax.process_count() > 1
+                            and jax.process_index() != 0)
+        if a.warm and not self.is_follower:
+            self.batcher.warm()    # multi-host: lockstep with followers
             self.enc_batcher.warm()
 
     # -- request path -----------------------------------------------------
@@ -383,6 +395,20 @@ def main(argv=None):
     import threading
 
     a = build_parser().parse_args(argv)
+    if a.mesh_shape and jax.process_count() > 1 \
+            and jax.process_index() != 0:
+        # multi-HOST daemon follower: build the identical batcher (same
+        # checkpoints on every host), then mirror process 0's dispatches
+        # until it shuts down. No HTTP here.
+        app = ServeApp(a)
+        print(f"follower {jax.process_index()}/{jax.process_count()}: "
+              f"mirroring process 0", flush=True)
+        try:
+            app.batcher.follower_loop()
+        finally:
+            app.enc_batcher.close()
+        print("follower done", flush=True)
+        return
     srv = make_server(a)
     host, port = srv.server_address[:2]
     print(f"serving on http://{host}:{port} "

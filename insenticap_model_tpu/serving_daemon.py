@@ -40,6 +40,15 @@ N's results drain back (double buffering, bounded at 2 batches in
 flight). Saturated producers block on a Condition the dispatch thread
 signals as it drains the queue (no polling). ``close()`` drains and
 joins both threads.
+
+Multi-HOST (``mesh`` spanning ``jax.process_count() > 1`` processes —
+multi-controller JAX requires every process to issue the same program):
+process 0 owns HTTP + batching and, per dispatch, broadcasts a control
+vector + the host batch; every other process mirrors it from
+``follower_loop()`` — stage stripe, run the sharded programs, allgather
+— so collectives stay ordered. Dispatch is synchronous there (no double
+buffering: pipelined batches would interleave collectives). Proved
+token-exact vs single-process by tools/multihost_daemon_check.py.
 """
 from __future__ import annotations
 
@@ -355,6 +364,19 @@ class _BatcherBase:
         raise NotImplementedError
 
 
+# Multi-HOST daemon control plane (see DynamicBatcher mesh= docs):
+# process 0 owns HTTP + batching; every other process sits in
+# follower_loop(), executing the identical sharded programs in lockstep.
+# Before each device dispatch, p0 broadcasts a fixed-shape control
+# vector [opcode, bucket, run_detect] and then the host batch arrays
+# (shapes derivable from the control vector on every process), so all
+# Gloo/ICI collectives are issued in the same order everywhere. In this
+# mode dispatch is SYNCHRONOUS (compute + allgather complete on the
+# dispatch thread) — the double-buffer pipeline would interleave
+# collectives from two batches across processes.
+_MP_EXEC, _MP_STOP = 0, 1
+
+
 class _Request(_RequestBase):
     __slots__ = ("fc", "att", "sentis", "forced_label")
 
@@ -444,6 +466,9 @@ class DynamicBatcher(_BatcherBase):
             self._serve = inference.make_sharded_forced_serving_fn(
                 mesh, settings, ids, beam_size, max_seq_len)
             self._batch_sharding = NamedSharding(mesh, P("data"))
+        # multi-HOST mode: the mesh spans processes -> lockstep control
+        # plane (p0 broadcasts, followers mirror; see _MP_EXEC above)
+        self._mp = mesh is not None and jax.process_count() > 1
         super().__init__(cap_n=self._buckets[-1], max_wait_s=max_wait_s,
                          max_queue=max_queue, bucket_keys=self._buckets,
                          name="isc-serve")
@@ -479,6 +504,9 @@ class DynamicBatcher(_BatcherBase):
         if forced_label != AUTO and not 0 <= forced_label < self._num_cats:
             raise ValueError(f"forced_label {forced_label} not in "
                              f"[0, {self._num_cats}) or AUTO")
+        if self._mp and jax.process_index() != 0:
+            raise RuntimeError("multi-host daemon: submit() only on "
+                               "process 0 (followers run follower_loop)")
         r = _Request(fc, att, sentis, int(forced_label))
         return self._enqueue_and_wait(r, timeout, enqueue_timeout)
 
@@ -497,16 +525,27 @@ class DynamicBatcher(_BatcherBase):
         bucket = next(b for b in self._buckets if b >= n)
         pad = bucket - n
         rows = batch + [batch[-1]] * pad      # repeat a live row
+
+        fc_h = np.stack([r.fc for r in rows]).astype(self._feat_dtype)
+        att_h = np.stack([r.att for r in rows]).astype(self._feat_dtype)
+        sentis_h = np.stack([r.sentis for r in rows])
+        forced_h = np.asarray([r.forced_label for r in rows], np.int32)
+        run_detect = bool((forced_h == AUTO).any())
+
+        if self._mp:
+            # lockstep multi-host path: broadcast, execute, allgather —
+            # results come back as host arrays (finish just fans out)
+            out = self._mp_dispatch(bucket, fc_h, att_h, sentis_h,
+                                    forced_h, run_detect)
+            self._fq.put((batch, bucket, pad) + out)
+            return
+
         stage = self._stage
-
-        fc = stage(np.stack([r.fc for r in rows]).astype(self._feat_dtype))
-        att = stage(np.stack([r.att for r in rows])
-                    .astype(self._feat_dtype))
-        sentis = stage(np.stack([r.sentis for r in rows]))
-
-        forced = np.asarray([r.forced_label for r in rows], np.int32)
-        forced_dev = stage(forced)
-        if (forced == AUTO).any():
+        fc = stage(fc_h)
+        att = stage(att_h)
+        sentis = stage(sentis_h)
+        forced_dev = stage(forced_h)
+        if run_detect:
             detected = self._detect(self._senti_params, att)
             labels = jnp.where(forced_dev == AUTO, detected, forced_dev)
         else:
@@ -515,6 +554,91 @@ class DynamicBatcher(_BatcherBase):
         seqs, scores = self._serve(self._cap_params, fc, att, sentis,
                                    labels)
         self._fq.put((batch, bucket, pad, seqs, scores, labels))
+
+    # -- multi-host control plane (mesh spans processes) -------------------
+
+    def _mp_dispatch(self, bucket, fc_h, att_h, sentis_h, forced_h,
+                     run_detect):
+        """Process 0 side: announce the step, ship the host batch to
+        every process, run the lockstep execution."""
+        from jax.experimental import multihost_utils as mhu
+        ctrl = np.asarray([_MP_EXEC, bucket, int(run_detect)], np.int32)
+        mhu.broadcast_one_to_all(ctrl)
+        fc_h = np.asarray(mhu.broadcast_one_to_all(fc_h))
+        att_h = np.asarray(mhu.broadcast_one_to_all(att_h))
+        sentis_h = np.asarray(mhu.broadcast_one_to_all(sentis_h))
+        forced_h = np.asarray(mhu.broadcast_one_to_all(forced_h))
+        return self._mp_exec(fc_h, att_h, sentis_h, forced_h, run_detect)
+
+    def _mp_exec(self, fc_h, att_h, sentis_h, forced_h, run_detect):
+        """Every process: stage its stripe of the (identical) host
+        batch as global data-sharded arrays, run the sharded programs,
+        allgather full results to the host. Collective order is fixed:
+        [detect?] -> serve -> 3x allgather."""
+        from jax.experimental import multihost_utils as mhu
+        sh = self._batch_sharding
+
+        def mk(v):
+            # every process holds the full host batch; each provides the
+            # blocks for ITS addressable devices (handles any device ->
+            # process layout)
+            return jax.make_array_from_callback(
+                v.shape, sh, lambda idx: v[idx])
+
+        fc, att = mk(fc_h), mk(att_h)
+        sentis, forced = mk(sentis_h), mk(forced_h)
+        if run_detect:
+            detected = self._detect(self._senti_params, att)
+            labels = jnp.where(forced == AUTO, detected, forced)
+        else:
+            labels = forced
+        seqs, scores = self._serve(self._cap_params, fc, att, sentis,
+                                   labels)
+        seqs = np.asarray(mhu.process_allgather(seqs, tiled=True))
+        scores = np.asarray(mhu.process_allgather(scores, tiled=True),
+                            np.float32)
+        labels = np.asarray(mhu.process_allgather(labels, tiled=True))
+        return seqs, scores, labels
+
+    def follower_loop(self) -> None:
+        """Run on every process with jax.process_index() != 0: mirror
+        process 0's dispatches until it closes. The daemon's HTTP side
+        never runs here — this thread only keeps the collectives
+        lockstep."""
+        from jax.experimental import multihost_utils as mhu
+        assert self._mp and jax.process_index() != 0, \
+            "follower_loop is for non-zero processes of a multi-host mesh"
+        fdt = np.dtype(self._feat_dtype)
+        while True:
+            ctrl = np.asarray(mhu.broadcast_one_to_all(
+                np.zeros((3,), np.int32)))
+            if int(ctrl[0]) == _MP_STOP:
+                break
+            b = int(ctrl[1])
+            run_detect = bool(ctrl[2])
+            fc_h = np.asarray(mhu.broadcast_one_to_all(
+                np.zeros((b,) + self._fc_shape, fdt)))
+            att_h = np.asarray(mhu.broadcast_one_to_all(
+                np.zeros((b,) + self._att_shape, fdt)))
+            sentis_h = np.asarray(mhu.broadcast_one_to_all(
+                np.zeros((b, self._m), np.int32)))
+            forced_h = np.asarray(mhu.broadcast_one_to_all(
+                np.zeros((b,), np.int32)))
+            self._mp_exec(fc_h, att_h, sentis_h, forced_h, run_detect)
+        self.close()
+
+    def close(self) -> None:
+        """Base close, plus (multi-host, process 0, once) a STOP
+        broadcast so followers leave follower_loop."""
+        super().close()
+        if self._mp and jax.process_index() == 0:
+            with self._stats_lock:
+                sent = getattr(self, "_mp_stop_sent", False)
+                self._mp_stop_sent = True
+            if not sent:
+                from jax.experimental import multihost_utils as mhu
+                mhu.broadcast_one_to_all(
+                    np.asarray([_MP_STOP, 0, 0], np.int32))
 
     def _finish(self, item) -> None:
         """Stage 2: materialize device outputs, fan results out."""
@@ -544,6 +668,20 @@ class DynamicBatcher(_BatcherBase):
         signature, so in mesh mode an unsharded warmup would compile a
         program real traffic never reuses."""
         for b in (buckets or self._buckets):
+            if self._mp:
+                # multi-host: warm through the SAME lockstep path real
+                # traffic uses (followers compile in step with p0).
+                # Call before accepting traffic — a concurrent real
+                # dispatch would interleave broadcasts.
+                self._mp_dispatch(
+                    b,
+                    np.zeros((b,) + self._fc_shape,
+                             np.dtype(self._feat_dtype)),
+                    np.zeros((b,) + self._att_shape,
+                             np.dtype(self._feat_dtype)),
+                    np.full((b, self._m), self._ids.pad, np.int32),
+                    np.zeros((b,), np.int32), True)
+                continue
             fcz = self._stage(np.zeros((b,) + self._fc_shape,
                               np.dtype(self._feat_dtype)))
             attz = self._stage(np.zeros((b,) + self._att_shape,

@@ -15,9 +15,8 @@ import pytest
 pytestmark = pytest.mark.slow  # excluded from the fast gate
 
 
-def _load_tool(name):
-    path = os.path.join(os.path.dirname(__file__), "..", "tools",
-                        "multiprocess_check.py")
+def _load_tool(name, fname="multiprocess_check.py"):
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", fname)
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -52,6 +51,21 @@ def test_four_process_2x2_mesh_xe_step_matches_single():
     assert sp["process_count"] == 1
     assert mp["mesh"] == [2, 2]
     assert mp["ckpt_roundtrip"] is True  # collective save actually ran
+
+
+def test_multihost_daemon_control_plane_matches_single():
+    """The multi-HOST serving DAEMON (serve.py --mesh_shape across
+    processes): process 0 runs the dynamic batcher (concurrent submits,
+    AUTO+forced mixing, lockstep warm-up), process 1 mirrors every
+    dispatch in DynamicBatcher.follower_loop() — broadcast control
+    vector + host batch, sharded execution, allgather. Tokens, labels,
+    and scores must be exactly those of the same batcher driven
+    single-process, and close() must release the follower (STOP)."""
+    mod = _load_tool("mh_daemon", "multihost_daemon_check.py")
+    res = mod.launch()
+    mod.compare(res, 2)
+    mp = res["multiprocess"]
+    assert mp["batches"] >= 2           # really coalesced + dispatched
 
 
 def test_eight_process_dp_xe_step_matches_single():
