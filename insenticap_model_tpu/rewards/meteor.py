@@ -6,9 +6,15 @@ coco-caption toolkit (Meteor 1.5). This module implements the full Meteor
 1.5 English scoring machinery:
 
   * match stages exact (w=1.0), Porter-stem (w=0.6), WordNet-synonym
-    (w=0.8) — the paraphrase stage needs Meteor's paraphrase table, which
-    is not redistributable here, and contributes least for 16-token
-    captions;
+    (w=0.8), and paraphrase (w=0.6) — the paraphrase stage activates
+    when a paraphrase table is supplied (Meteor's own table is not
+    redistributable here): set ISC_METEOR_PARAPHRASE to the file, or
+    pass ``paraphrase_path=`` to ``Meteor``. Accepted formats
+    (auto-detected, optionally gzipped): ``phrase ||| paraphrase``
+    per line (PPDB-style, extra ``|||`` fields ignored),
+    ``phrase<TAB>paraphrase``, or Meteor-1.5's consecutive-line pairs.
+    Paraphrase matches are PHRASE matches: multi-word spans of the
+    hypothesis align to multi-word spans of the reference;
   * the function-word discount δ=0.75: function words weigh (1−δ) in the
     weighted precision/recall, content words δ;
   * Fmean = P·R / (α·P + (1−α)·R) with α=0.85, fragmentation penalty
@@ -25,18 +31,25 @@ labels itself METEOR* (``Meteor().name``).
 
 Alignment: the EXACT Meteor resolution criteria (Denkowski & Lavie
 2014, §2.1) — each word covered by at most one match; maximize covered
-words; then minimize number of chunks; then minimize the sum of absolute
-start-position offsets — solved exactly by a pruned lexicographic search
-(caption-scale sentences; a Meteor-style beam fallback guards
-adversarial inputs, see ``_align``). Meteor's own resolver is a beam
-search over the same criteria, so this is at least as faithful to the
-published definition as the Java tool. The retired greedy stage-order
-aligner is kept as ``_align_greedy`` for the divergence oracle test.
+words (summed over both sentences, which matters once phrase matches
+can cover unequal span lengths); then minimize number of chunks; then
+minimize the sum of absolute start-position offsets — solved exactly
+by a pruned lexicographic search over span matches (caption-scale
+sentences; a Meteor-style beam fallback guards adversarial inputs, see
+``_align_spans``). Meteor's own resolver is a beam search over the
+same criteria, so this is at least as faithful to the published
+definition as the Java tool. With phrase matches, weighted P/R sum the
+stage weight × function-word discount over every covered word of the
+respective side, and the fragmentation penalty uses
+m = (covered_hyp + covered_ref)/2 (reduces to the word-match count
+when all matches are 1:1). The retired greedy stage-order aligner is
+kept as ``_align_greedy`` for the divergence oracle test.
 
 Known divergences from the Java Meteor 1.5 (documented, not silent):
-the paraphrase stage is absent (needs Meteor's non-redistributable
-paraphrase table), and the built-in function-word list is a standard
-English closed-class list rather than Meteor's corpus-frequency-derived
+the paraphrase stage needs a user-supplied table (Meteor's own
+``paraphrase-en.gz`` is not redistributable; without it the stage is
+off), and the built-in function-word list is a standard English
+closed-class list rather than Meteor's corpus-frequency-derived
 ``function.words`` (pass ``function_words=`` to substitute the official
 list). Because of these, the scorer ALWAYS labels itself METEOR* —
 values are close to but not interchangeable with coco-caption METEOR
@@ -55,6 +68,7 @@ DELTA = 0.75
 W_EXACT = 1.0  # per-stage match weights (Meteor 1.5 'en')
 W_STEM = 0.6
 W_SYN = 0.8
+W_PAR = 0.6
 
 
 try:
@@ -130,6 +144,78 @@ class WordNetSynonyms:
         return bool(sb) and not sa.isdisjoint(sb)
 
 
+class ParaphraseTable:
+    """Phrase-pair table for the Meteor paraphrase stage (w=0.6).
+
+    ``lookup(phrase_tuple)`` returns the set of phrase tuples it
+    paraphrases to; pairs are stored symmetrically (Meteor treats the
+    table as an undirected phrase relation). Accepted line formats,
+    auto-detected per line, plain or gzip (``.gz``):
+
+      * ``phrase ||| paraphrase`` — PPDB-style; when a leading
+        ``[LHS]`` nonterminal field is present (full PPDB), the two
+        fields after it are taken and trailing feature/alignment
+        fields are ignored;
+      * ``phrase<TAB>paraphrase``;
+      * neither separator: consecutive lines are (phrase, paraphrase)
+        pairs — the Meteor-1.5 ``paraphrase-en`` layout.
+    """
+
+    MAX_PHRASE_LEN = 6  # spans longer than any real table entry
+
+    def __init__(self, path: str):
+        self.table: Dict[Tuple[str, ...], Set[Tuple[str, ...]]] = {}
+        self.max_len = 1
+        opener = __import__("gzip").open if path.endswith(".gz") else open
+        pending: Optional[Tuple[str, ...]] = None
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                if "|||" in line:
+                    fields = [x.strip() for x in line.split("|||")]
+                    if fields[0].startswith("[") and len(fields) >= 3:
+                        a, b = fields[1], fields[2]
+                    else:
+                        a, b = fields[0], fields[1]
+                    self._add(a, b)
+                elif "\t" in line:
+                    a, b = line.split("\t")[:2]
+                    self._add(a, b)
+                elif pending is None:
+                    pending = tuple(line.split())
+                else:
+                    self._add_tuples(pending, tuple(line.split()))
+                    pending = None
+        if not self.table:
+            raise ValueError(f"no paraphrase pairs parsed from {path}")
+
+    def _add(self, a: str, b: str) -> None:
+        self._add_tuples(tuple(a.split()), tuple(b.split()))
+
+    def _add_tuples(self, ta: Tuple[str, ...], tb: Tuple[str, ...]) -> None:
+        if not ta or not tb or ta == tb:
+            return
+        if max(len(ta), len(tb)) > self.MAX_PHRASE_LEN:
+            return
+        self.table.setdefault(ta, set()).add(tb)
+        self.table.setdefault(tb, set()).add(ta)
+        self.max_len = max(self.max_len, len(ta), len(tb))
+
+    def lookup(self, phrase: Tuple[str, ...]) -> Set[Tuple[str, ...]]:
+        return self.table.get(phrase, _EMPTY_SET)
+
+
+_EMPTY_SET: Set[Tuple[str, ...]] = frozenset()  # type: ignore[assignment]
+
+
+def find_paraphrase_path() -> Optional[str]:
+    """ISC_METEOR_PARAPHRASE, if it points at a readable file."""
+    cand = os.environ.get("ISC_METEOR_PARAPHRASE")
+    return cand if cand and os.path.isfile(cand) else None
+
+
 def find_wordnet_dir() -> Optional[str]:
     """ISC_WORDNET_DIR, else <any nltk_data path>/corpora/wordnet."""
     cand = os.environ.get("ISC_WORDNET_DIR")
@@ -173,104 +259,160 @@ def _candidate_matches(hyp: Sequence[str], ref: Sequence[str],
 _MAX_NODES = 200_000
 _BEAM = 40  # Meteor 1.5's own resolver beam width
 
+# span match: (hyp_len, ref_start, ref_len, stage_weight), listed per
+# hyp start position; a resolved match adds the hyp start index up front
+_Span = Tuple[int, int, int, float]
+
+
+def _candidate_spans(hyp: Sequence[str], ref: Sequence[str],
+                     hyp_stems: Sequence[str], ref_stems: Sequence[str],
+                     wordnet: Optional[WordNetSynonyms],
+                     paraphrases: Optional[ParaphraseTable]
+                     ) -> List[List[_Span]]:
+    """Per-hyp-start candidate spans. Word stages produce 1:1 spans;
+    the paraphrase stage produces phrase spans. Module precedence: a
+    1:1 pair already matched by an earlier stage keeps that stage's
+    weight (paraphrase is the last module)."""
+    word = _candidate_matches(hyp, ref, hyp_stems, ref_stems, wordnet)
+    cand: List[List[_Span]] = [[(1, j, 1, w) for j, w in row]
+                               for row in word]
+    if paraphrases is not None:
+        # all ref spans up to the table's max phrase length, by content
+        ref_spans: Dict[Tuple[str, ...], List[int]] = {}
+        for j in range(len(ref)):
+            for rl in range(1, min(paraphrases.max_len,
+                                   len(ref) - j) + 1):
+                ref_spans.setdefault(tuple(ref[j:j + rl]), []).append(j)
+        for i in range(len(hyp)):
+            word_matched = {j for j, _ in word[i]}
+            for hl in range(1, min(paraphrases.max_len,
+                                   len(hyp) - i) + 1):
+                for para in paraphrases.lookup(tuple(hyp[i:i + hl])):
+                    rl = len(para)
+                    for j in ref_spans.get(para, ()):
+                        if hl == 1 and rl == 1 and j in word_matched:
+                            continue  # earlier module wins for this pair
+                        cand[i].append((hl, j, rl, W_PAR))
+    return cand
+
 
 def _align(hyp: Sequence[str], ref: Sequence[str],
            hyp_stems: Sequence[str], ref_stems: Sequence[str],
            wordnet: Optional[WordNetSynonyms]
            ) -> List[Tuple[int, int, float]]:
-    """Meteor 1.5 alignment resolution (Denkowski & Lavie 2014 §2.1),
-    solved EXACTLY: among one-to-one match sets, lexicographically
-    (1) maximize covered words, (2) minimize chunks, (3) minimize the
-    sum of |hyp_i - ref_j| start-position offsets. Pruned DFS over hyp
-    positions — all three key components are monotone along a path, so
-    componentwise lower bounds prune lexicographically. Falls back to a
-    Meteor-style width-40 beam over the same key if the node budget is
-    hit (adversarial inputs only). Returns [(hyp_i, ref_j, stage_weight)]
-    sorted by hyp index."""
-    cand = _candidate_matches(hyp, ref, hyp_stems, ref_stems, wordnet)
-    n = len(hyp)
-    # suffix count of hyp positions that have at least one candidate:
-    # an upper bound on matches still addable from position i onward
-    # (ignores ref conflicts — still a valid bound).
-    suffix = [0] * (n + 1)
-    for i in range(n - 1, -1, -1):
-        suffix[i] = suffix[i + 1] + (1 if cand[i] else 0)
+    """Word-stage-only alignment (exact/stem/synonym), returned as
+    (hyp_i, ref_j, stage_weight) triples — the span resolver below does
+    the work; with 1:1 spans 'covered words' is exactly 2·matches, so
+    the resolved key order equals the word-level criteria."""
+    cand = _candidate_spans(hyp, ref, hyp_stems, ref_stems, wordnet, None)
+    return [(i, j, w) for i, _, j, _, w in _align_spans(cand, len(hyp))]
 
-    best_key = (1, 0, 0)  # worse than any real alignment (m >= 0)
-    best_matches: List[Tuple[int, int, float]] = []
+
+def _align_spans(cand: List[List[_Span]], n: int
+                 ) -> List[Tuple[int, int, int, int, float]]:
+    """Meteor 1.5 alignment resolution (Denkowski & Lavie 2014 §2.1),
+    solved EXACTLY over span matches: among one-to-one match sets
+    (every word covered at most once on each side), lexicographically
+    (1) maximize covered words summed over both sentences, (2) minimize
+    chunks, (3) minimize the sum of |hyp_start − ref_start| offsets.
+    Pruned DFS over hyp start positions — all three key components are
+    monotone along a path, so componentwise lower bounds prune
+    lexicographically. Falls back to a Meteor-style width-40 beam over
+    the same key if the node budget is hit (adversarial inputs only).
+    Returns [(hyp_i, hyp_len, ref_j, ref_len, stage_weight)] sorted by
+    hyp index."""
+    # ub[i]: max covered-word total addable from hyp position i onward,
+    # ignoring ref conflicts (valid upper bound for pruning).
+    ub = [0] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        ub[i] = ub[i + 1]
+        for hl, _, rl, _w in cand[i]:
+            ub[i] = max(ub[i], hl + rl + ub[i + hl])
+
+    best_key = (1, 0, 0)  # worse than any real alignment (cov >= 0)
+    best_matches: List[Tuple[int, int, int, int, float]] = []
     nodes = 0
 
-    # state: (i, used ref bitmask, m, chunks, dist, last (li,lj) or None)
-    def dfs(i, used, m, chunks, dist, last, matches):
+    # state: (i, used ref bitmask, cov, chunks, dist,
+    #         last match end (hyp_end, ref_end) or None)
+    def dfs(i, used, cov, chunks, dist, last, matches):
         nonlocal best_key, best_matches, nodes
         nodes += 1
         if nodes > _MAX_NODES:
             raise _NodeBudget()
         if i == n:
-            key = (-m, chunks, dist)
+            key = (-cov, chunks, dist)
             if key < best_key:
                 best_key = key
                 best_matches = list(matches)
             return
-        lb = (-(m + suffix[i]), chunks, dist)
+        lb = (-(cov + ub[i]), chunks, dist)
         if lb >= best_key:
             return
         # try matches first (better incumbents earlier); prefer the
-        # chunk-extending candidate, then small offsets
+        # chunk-extending candidate, then bigger spans, small offsets
         row = cand[i]
         if row:
-            lj = last[1] if last is not None and last[0] == i - 1 else None
+            chain_j = (last[1] + 1 if last is not None and last[0] == i - 1
+                       else -10**9)
             order = sorted(
                 range(len(row)),
-                key=lambda k: (row[k][0] != (lj + 1 if lj is not None
-                                             else -10**9),
-                               abs(i - row[k][0])))
+                key=lambda k: (row[k][1] != chain_j,
+                               -(row[k][0] + row[k][2]),
+                               abs(i - row[k][1])))
             for k in order:
-                j, w = row[k]
-                if used >> j & 1:
+                hl, j, rl, w = row[k]
+                mask = ((1 << rl) - 1) << j
+                if used & mask:
                     continue
                 nchunks = chunks + (0 if (last is not None
                                           and last == (i - 1, j - 1))
                                     else 1)
-                matches.append((i, j, w))
-                dfs(i + 1, used | (1 << j), m + 1, nchunks,
-                    dist + abs(i - j), (i, j), matches)
+                matches.append((i, hl, j, rl, w))
+                dfs(i + hl, used | mask, cov + hl + rl, nchunks,
+                    dist + abs(i - j), (i + hl - 1, j + rl - 1), matches)
                 matches.pop()
-        dfs(i + 1, used, m, chunks, dist, last, matches)
+        dfs(i + 1, used, cov, chunks, dist, last, matches)
 
     try:
         dfs(0, 0, 0, 0, 0, None, [])
         return best_matches
     except _NodeBudget:
-        return _align_beam(cand, n)
+        return _align_spans_beam(cand, n)
 
 
 class _NodeBudget(Exception):
     pass
 
 
-def _align_beam(cand: List[List[Tuple[int, float]]], n: int
-                ) -> List[Tuple[int, int, float]]:
+def _align_spans_beam(cand: List[List[_Span]], n: int
+                      ) -> List[Tuple[int, int, int, int, float]]:
     """Width-40 beam over the same lexicographic key — what the Java
     Meteor resolver itself does; only reached on adversarial inputs."""
-    # state: (key, used, last, matches)
-    states = [((0, 0, 0), 0, None, [])]
+    # state: (key, next hyp position, used, last, matches)
+    states = [((0, 0, 0), 0, 0, None, [])]
     for i in range(n):
         nxt = []
-        for (negm, chunks, dist), used, last, matches in states:
-            nxt.append(((negm, chunks, dist), used, last, matches))
-            for j, w in cand[i]:
-                if used >> j & 1:
+        for key, pos, used, last, matches in states:
+            if pos > i:      # a span already covers position i
+                nxt.append((key, pos, used, last, matches))
+                continue
+            negc, chunks, dist = key
+            nxt.append((key, i + 1, used, last, matches))
+            for hl, j, rl, w in cand[i]:
+                mask = ((1 << rl) - 1) << j
+                if used & mask:
                     continue
                 nchunks = chunks + (0 if (last is not None
                                           and last == (i - 1, j - 1))
                                     else 1)
-                nxt.append(((negm - 1, nchunks, dist + abs(i - j)),
-                            used | (1 << j), (i, j),
-                            matches + [(i, j, w)]))
+                nxt.append(((negc - hl - rl, nchunks, dist + abs(i - j)),
+                            i + hl, used | mask,
+                            (i + hl - 1, j + rl - 1),
+                            matches + [(i, hl, j, rl, w)]))
         nxt.sort(key=lambda s: s[0])
         states = nxt[:_BEAM]
-    return states[0][3]
+    return states[0][4]
 
 
 def _align_greedy(hyp: Sequence[str], ref: Sequence[str],
@@ -310,7 +452,8 @@ def _content_weight(w: str, function_words: Optional[Set[str]]) -> float:
 
 def score_sentence(hyp: Sequence[str], refs: List[Sequence[str]],
                    wordnet: Optional[WordNetSynonyms] = None,
-                   function_words: Optional[Set[str]] = FUNCTION_WORDS
+                   function_words: Optional[Set[str]] = FUNCTION_WORDS,
+                   paraphrases: Optional[ParaphraseTable] = None
                    ) -> float:
     hyp = list(hyp)
     hyp_stems = [_stem(w) for w in hyp]  # stem once, not per pair
@@ -320,16 +463,20 @@ def score_sentence(hyp: Sequence[str], refs: List[Sequence[str]],
         ref = list(ref)
         if not hyp or not ref:
             continue
-        align = _align(hyp, ref, hyp_stems, [_stem(w) for w in ref],
-                       wordnet)
-        m = len(align)
-        if m == 0:
+        cand = _candidate_spans(hyp, ref, hyp_stems,
+                                [_stem(w) for w in ref],
+                                wordnet, paraphrases)
+        align = _align_spans(cand, len(hyp))
+        if not align:
             continue
-        # weighted P/R: stage weight x function-word discount
-        wp = sum(w * _content_weight(hyp[i], function_words)
-                 for i, _, w in align)
-        wr = sum(w * _content_weight(ref[j], function_words)
-                 for _, j, w in align)
+        # covered words per side; weighted P/R: stage weight ×
+        # function-word discount over every covered word of that side
+        m_hyp = sum(hl for _, hl, _, _, _ in align)
+        m_ref = sum(rl for _, _, _, rl, _ in align)
+        wp = sum(w * _content_weight(hyp[i + k], function_words)
+                 for i, hl, _, _, w in align for k in range(hl))
+        wr = sum(w * _content_weight(ref[j + k], function_words)
+                 for _, _, j, rl, w in align for k in range(rl))
         ref_wsum = sum(_content_weight(w, function_words) for w in ref)
         if hyp_wsum == 0 or ref_wsum == 0:
             continue
@@ -339,10 +486,14 @@ def score_sentence(hyp: Sequence[str], refs: List[Sequence[str]],
             continue
         fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
         chunks = 1
-        for (i0, j0, _), (i1, j1, _) in zip(align, align[1:]):
-            if not (i1 == i0 + 1 and j1 == j0 + 1):
+        for (i0, hl0, j0, rl0, _), (i1, _, j1, _, _) in zip(align,
+                                                            align[1:]):
+            if not (i1 == i0 + hl0 and j1 == j0 + rl0):
                 chunks += 1
-        penalty = GAMMA * (chunks / m) ** BETA
+        # Meteor 1.5 averages the two sides' coverage for the
+        # fragmentation denominator (= the match count when all
+        # matches are 1:1 word matches)
+        penalty = GAMMA * (chunks / ((m_hyp + m_ref) / 2.0)) ** BETA
         best = max(best, fmean * (1.0 - penalty))
     return best
 
@@ -351,18 +502,22 @@ class Meteor:
     """coco-caption-shaped API: compute_score(gts, res) -> (mean, scores).
 
     wordnet_dir: explicit WordNet db dir; by default auto-discovered via
-    find_wordnet_dir(). ``name`` is ALWAYS "METEOR*": even with the
-    synonym stage active, the paraphrase stage is absent and the
-    function-word list is a stand-in, so values are not interchangeable
-    with coco-caption METEOR (advisor r3) — tables must not invite that
-    comparison. ``mode`` records which stages were active so results
-    from different hosts are comparable."""
+    find_wordnet_dir(). paraphrase_path: a ParaphraseTable file (see
+    that class for formats); by default ISC_METEOR_PARAPHRASE. ``name``
+    is ALWAYS "METEOR*": the function-word list is a stand-in and the
+    official paraphrase table is not redistributable, so values are not
+    interchangeable with coco-caption METEOR (advisor r3) — tables must
+    not invite that comparison. ``mode`` records which stages were
+    active so results from different hosts are comparable."""
 
     def __init__(self, wordnet_dir: Optional[str] = None,
-                 function_words: Optional[Set[str]] = FUNCTION_WORDS):
+                 function_words: Optional[Set[str]] = FUNCTION_WORDS,
+                 paraphrase_path: Optional[str] = None):
         d = wordnet_dir or find_wordnet_dir()
         self.wordnet = WordNetSynonyms(d) if d else None
         self.function_words = function_words
+        p = paraphrase_path or find_paraphrase_path()
+        self.paraphrases = ParaphraseTable(p) if p else None
 
     @property
     def name(self) -> str:
@@ -371,18 +526,21 @@ class Meteor:
     @property
     def mode(self) -> str:
         """One-line provenance: active match stages + word-list source."""
-        stages = "exact+stem" + ("+syn" if self.wordnet is not None else "")
+        stages = ("exact+stem"
+                  + ("+syn" if self.wordnet is not None else "")
+                  + ("+para" if self.paraphrases is not None else ""))
         fw = ("none" if self.function_words is None else
               "builtin" if self.function_words is FUNCTION_WORDS else
               "custom")
-        return (f"stages={stages}, no-paraphrase, function_words={fw}, "
+        return (f"stages={stages}, function_words={fw}, "
                 f"aligner=exact-meteor-criteria")
 
     def compute_score(self, gts: Dict, res: List[Dict]):
         scores = [score_sentence(item["caption"][0],
                                  gts[item["image_id"]],
                                  wordnet=self.wordnet,
-                                 function_words=self.function_words)
+                                 function_words=self.function_words,
+                                 paraphrases=self.paraphrases)
                   for item in res]
         mean = sum(scores) / max(len(scores), 1)
         return mean, scores

@@ -307,6 +307,167 @@ def test_meteor_align_exact_vs_bruteforce_oracle():
     assert greedy_diverged > 0
 
 
+def test_meteor_paraphrase_table_formats(tmp_path):
+    """All three accepted table layouts (PPDB '|||', TSV, Meteor-1.5
+    consecutive-line pairs; plain or gzipped) parse to the same
+    symmetric phrase relation."""
+    import gzip
+    from insenticap_model_tpu.rewards.meteor import ParaphraseTable
+
+    ppdb = tmp_path / "ppdb.txt"
+    ppdb.write_text("big ||| large\n"
+                    "[NP] ||| runs quickly ||| sprints ||| feats ||| al\n")
+    tsv = tmp_path / "tab.txt"
+    tsv.write_text("big\tlarge\nruns quickly\tsprints\n")
+    pairs_gz = tmp_path / "pairs.gz"
+    with gzip.open(pairs_gz, "wt") as f:
+        f.write("big\nlarge\nruns quickly\nsprints\n")
+
+    tables = [ParaphraseTable(str(p)) for p in (ppdb, tsv, pairs_gz)]
+    for t in tables:
+        assert t.table == tables[0].table
+        assert ("large",) in t.lookup(("big",))          # symmetric
+        assert ("big",) in t.lookup(("large",))
+        assert ("sprints",) in t.lookup(("runs", "quickly"))
+        assert t.lookup(("unknown",)) == set() or not t.lookup(("unknown",))
+        assert t.max_len == 2
+
+    with pytest.raises(ValueError):
+        empty = tmp_path / "empty.txt"
+        empty.write_text("# only a comment\n")
+        ParaphraseTable(str(empty))
+
+
+def test_meteor_paraphrase_stage(tmp_path):
+    """Paraphrase stage (w=0.6): phrase spans of the hypothesis align to
+    phrase spans of the reference; earlier word modules keep precedence
+    on 1:1 pairs; scoring covers every word of each side's span."""
+    from insenticap_model_tpu.rewards.meteor import (
+        Meteor, ParaphraseTable, _align_spans, _candidate_spans,
+        score_sentence, _stem)
+
+    tab = tmp_path / "para.txt"
+    tab.write_text("runs quickly ||| sprints\nbig ||| large\n"
+                   "big ||| big\n")   # self-pair must be ignored
+    pt = ParaphraseTable(str(tab))
+    assert ("big",) not in pt.lookup(("big",))
+
+    # multi-word hyp span <-> shorter ref span, chained with the exact
+    # matches before it (1 chunk): hand-resolved alignment
+    hyp = "the dog runs quickly".split()
+    ref = "the dog sprints".split()
+    cand = _candidate_spans(hyp, ref, [_stem(w) for w in hyp],
+                            [_stem(w) for w in ref], None, pt)
+    align = _align_spans(cand, len(hyp))
+    assert align == [(0, 1, 0, 1, 1.0), (1, 1, 1, 1, 1.0),
+                     (2, 2, 2, 1, 0.6)]
+    base = score_sentence(hyp, [ref])
+    with_para = score_sentence(hyp, [ref], paraphrases=pt)
+    assert with_para > base
+    # hand-computed (weighted P/R over covered words, 1 chunk,
+    # m=(4+3)/2): pins the span scoring semantics
+    p = (1.0 * 0.25 + 1.0 * 0.75 + 0.6 * 1.5) / 2.5
+    r = (1.0 * 0.25 + 1.0 * 0.75 + 0.6 * 0.75) / 1.75
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    expect = fmean * (1.0 - 0.6 * (1 / 3.5) ** 0.2)
+    assert with_para == pytest.approx(expect)
+
+    # 1:1 paraphrase behaves like a w=0.6 word stage, and exact-stage
+    # precedence wins when the same pair matches both
+    s_syn = score_sentence("a big dog".split(), ["a large dog".split()],
+                           paraphrases=pt)
+    s_base = score_sentence("a big dog".split(), ["a large dog".split()])
+    s_exact = score_sentence("a big dog".split(), ["a big dog".split()],
+                             paraphrases=pt)
+    assert s_base < s_syn < s_exact
+
+    m = Meteor(paraphrase_path=str(tab))
+    assert m.name == "METEOR*" and "+para" in m.mode
+    mean, _ = m.compute_score(
+        {"i": [ref]}, [{"image_id": "i", "caption": [tuple(hyp)]}])
+    assert mean == pytest.approx(with_para)
+
+
+def test_meteor_paraphrase_env_discovery(tmp_path, monkeypatch):
+    from insenticap_model_tpu.rewards import meteor as M
+    tab = tmp_path / "para.txt"
+    tab.write_text("big ||| large\n")
+    monkeypatch.setenv("ISC_METEOR_PARAPHRASE", str(tab))
+    m = M.Meteor()
+    assert m.paraphrases is not None and "+para" in m.mode
+    monkeypatch.delenv("ISC_METEOR_PARAPHRASE")
+    assert M.find_paraphrase_path() is None
+
+
+def _oracle_span_key(cand, n_hyp):
+    """Brute-force span-resolution oracle: enumerate EVERY subset of the
+    flattened candidate span list, keep those one-to-one on both sides,
+    return the lexicographically best (-covered, chunks, dist) key."""
+    import itertools
+    flat = [(i, hl, j, rl, w) for i in range(n_hyp)
+            for hl, j, rl, w in cand[i]]
+    assert len(flat) <= 16, "oracle instance too large"
+    best = (1, 0, 0)
+    for size in range(len(flat) + 1):
+        for sub in itertools.combinations(flat, size):
+            hyp_cov, ref_cov = set(), set()
+            ok = True
+            for i, hl, j, rl, _ in sub:
+                hspan, rspan = set(range(i, i + hl)), set(range(j, j + rl))
+                if hyp_cov & hspan or ref_cov & rspan:
+                    ok = False
+                    break
+                hyp_cov |= hspan
+                ref_cov |= rspan
+            if not ok:
+                continue
+            sub = sorted(sub)
+            chunks = sum(
+                1 for k, (i, hl, j, rl, _) in enumerate(sub)
+                if k == 0 or (sub[k - 1][0] + sub[k - 1][1],
+                              sub[k - 1][2] + sub[k - 1][3]) != (i, j))
+            key = (-(len(hyp_cov) + len(ref_cov)), chunks,
+                   sum(abs(i - j) for i, _, j, _, _ in sub))
+            if key < best:
+                best = key
+    return best
+
+
+def test_meteor_span_align_vs_bruteforce_oracle(tmp_path):
+    """The span resolver realizes the exact Meteor criteria (max covered
+    words over both sides, min chunks, min offset sum) with phrase
+    matches in play — property-tested against a no-pruning subset
+    oracle."""
+    import random
+    from insenticap_model_tpu.rewards.meteor import (
+        ParaphraseTable, _align_spans, _candidate_spans, _stem)
+
+    tab = tmp_path / "para.txt"
+    tab.write_text("big ||| large\ndog ||| puppy\n"
+                   "runs quickly ||| sprints\nthe park ||| a garden\n")
+    pt = ParaphraseTable(str(tab))
+    vocab = ["the", "a", "big", "large", "dog", "puppy", "runs",
+             "quickly", "sprints", "park", "garden"]
+    rng = random.Random(1)
+    checked = 0
+    while checked < 120:
+        hyp = [rng.choice(vocab) for _ in range(rng.randint(1, 5))]
+        ref = [rng.choice(vocab) for _ in range(rng.randint(1, 5))]
+        cand = _candidate_spans(hyp, ref, [_stem(w) for w in hyp],
+                                [_stem(w) for w in ref], None, pt)
+        if sum(len(r) for r in cand) > 16:
+            continue  # keep the subset oracle tractable
+        align = _align_spans(cand, len(hyp))
+        chunks = sum(
+            1 for k, (i, hl, j, rl, _) in enumerate(align)
+            if k == 0 or (align[k - 1][0] + align[k - 1][1],
+                          align[k - 1][2] + align[k - 1][3]) != (i, j))
+        got = (-sum(hl + rl for _, hl, _, rl, _ in align), chunks,
+               sum(abs(i - j) for i, _, j, _, _ in align))
+        assert got == _oracle_span_key(cand, len(hyp)), (hyp, ref)
+        checked += 1
+
+
 def test_meteor_align_beam_fallback(monkeypatch):
     """Node-budget exhaustion falls back to the width-40 beam (what Java
     Meteor itself uses) and still returns a full-coverage alignment on
