@@ -22,6 +22,18 @@ max is reassociation-free) before timing.
     python tools/ab_maxpool.py [--bs 32] [--hw 448] [--iters 30]
 
 Run on the real chip (default env); CPU runs check parity only.
+
+CHIP VERDICT (r4, bs=32 448² bf16): REJECTED — both rewrites LOSE
+end-to-end under pipelined timing (reduce_window 16.96 ms/batch,
+separable 22.62 = 0.75x, slices9 21.83 = 0.78x). reduce_window's
+lowering is better than its 8%-of-HBM stage attribution suggested:
+the slice-based rewrites materialize strided views XLA cannot fuse
+as cheaply. Cautionary note: the FIRST run of this tool timed with a
+per-call sync (np.asarray every iteration) and measured a fake 1.36x
+WIN for slices9 — the per-call tunnel RTT (~45 ms) is not uniform
+across program shapes, so per-call-sync A/Bs can fabricate verdicts
+in EITHER direction. Always pipeline dispatches and sync once
+(CLAUDE.md measurement rules).
 """
 import argparse
 import sys
@@ -78,20 +90,21 @@ VARIANTS = {
 
 
 def _time_e2e(pool_fn, params, imgs, iters):
-    """Median ms/batch of forward_raw_batch with the given maxpool,
-    synced on an in-graph scalar (never fetch the big output)."""
+    """Mean ms/batch of forward_raw_batch with the given maxpool:
+    iters back-to-back async dispatches, ONE sync on an in-graph scalar
+    at the end (per-call syncs pay the full tunnel RTT per iteration —
+    CLAUDE.md dispatch-floor rule; same discipline as bench_encoder)."""
     orig = enc._ceil_maxpool_3x3s2
     enc._ceil_maxpool_3x3s2 = pool_fn
     try:
         fwd = jax.jit(lambda p, x: enc.forward_raw_batch(p, x)[0].sum())
         dev = jax.device_put(imgs)
         np.asarray(fwd(params, dev))  # compile + warm
-        ts = []
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
-            np.asarray(fwd(params, dev))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts) * 1e3)
+            out = fwd(params, dev)
+        np.asarray(out)
+        return float((time.perf_counter() - t0) / iters * 1e3)
     finally:
         enc._ceil_maxpool_3x3s2 = orig
 
