@@ -50,8 +50,12 @@ the paraphrase stage needs a user-supplied table (Meteor's own
 ``paraphrase-en.gz`` is not redistributable; without it the stage is
 off), and the built-in function-word list is a standard English
 closed-class list rather than Meteor's corpus-frequency-derived
-``function.words`` (pass ``function_words=`` to substitute the official
-list). Because of these, the scorer ALWAYS labels itself METEOR* —
+``function.words``. Three ways to close the word-list gap: point
+ISC_METEOR_FUNCTION_WORDS at a one-word-per-line file (the official
+``function.words`` drops in unchanged), pass ``function_words=``, or
+build a list by Meteor's own published definition with
+``derive_function_words`` (relative frequency > 1e-3 in a corpus).
+Because of these, the scorer ALWAYS labels itself METEOR* —
 values are close to but not interchangeable with coco-caption METEOR
 (per advisor guidance r3). ``Meteor().mode`` says which stages were
 active so runs on different hosts are comparable.
@@ -214,6 +218,51 @@ def find_paraphrase_path() -> Optional[str]:
     """ISC_METEOR_PARAPHRASE, if it points at a readable file."""
     cand = os.environ.get("ISC_METEOR_PARAPHRASE")
     return cand if cand and os.path.isfile(cand) else None
+
+
+def find_function_words_path() -> Optional[str]:
+    """ISC_METEOR_FUNCTION_WORDS, if it points at a readable file."""
+    cand = os.environ.get("ISC_METEOR_FUNCTION_WORDS")
+    return cand if cand and os.path.isfile(cand) else None
+
+
+def load_function_words(path: str) -> Set[str]:
+    """One word per line ('#' comments allowed) — the format of Meteor
+    1.5's own ``function.words`` resource, so the official file drops in
+    unchanged when available."""
+    words: Set[str] = set()
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            w = line.strip()
+            if w and not w.startswith("#"):
+                words.add(w.lower())
+    if not words:
+        raise ValueError(f"no function words parsed from {path}")
+    return words
+
+
+def derive_function_words(token_seqs, min_rel_freq: float = 1e-3
+                          ) -> Set[str]:
+    """Build a function-word list by Meteor's OWN definition: every word
+    whose relative frequency in a monolingual corpus exceeds 10^-3
+    (Denkowski & Lavie 2014 §3 — their ``function.words`` was derived
+    this way from newswire text). Given the training-caption corpus this
+    reproduces the derivation procedure, if not the exact newswire list;
+    write the result out and point ISC_METEOR_FUNCTION_WORDS at it so
+    runs on different hosts score identically.
+
+    token_seqs: iterable of token sequences (lowercased by caller or
+    not — counting is case-folded)."""
+    from collections import Counter
+    counts: Counter = Counter()
+    total = 0
+    for seq in token_seqs:
+        for w in seq:
+            counts[w.lower()] += 1
+            total += 1
+    if total == 0:
+        return set()
+    return {w for w, c in counts.items() if c / total > min_rel_freq}
 
 
 def find_wordnet_dir() -> Optional[str]:
@@ -510,11 +559,22 @@ class Meteor:
     not invite that comparison. ``mode`` records which stages were
     active so results from different hosts are comparable."""
 
+    _DEFAULT_FW: Set[str] = frozenset({"__default__"})  # sentinel
+
     def __init__(self, wordnet_dir: Optional[str] = None,
-                 function_words: Optional[Set[str]] = FUNCTION_WORDS,
+                 function_words: Optional[Set[str]] = _DEFAULT_FW,
                  paraphrase_path: Optional[str] = None):
         d = wordnet_dir or find_wordnet_dir()
         self.wordnet = WordNetSynonyms(d) if d else None
+        if function_words is Meteor._DEFAULT_FW:
+            fwp = find_function_words_path()
+            function_words = (load_function_words(fwp) if fwp
+                              else FUNCTION_WORDS)
+            self._fw_source = "file" if fwp else "builtin"
+        else:
+            self._fw_source = ("none" if function_words is None else
+                               "builtin" if function_words is FUNCTION_WORDS
+                               else "custom")
         self.function_words = function_words
         p = paraphrase_path or find_paraphrase_path()
         self.paraphrases = ParaphraseTable(p) if p else None
@@ -529,10 +589,7 @@ class Meteor:
         stages = ("exact+stem"
                   + ("+syn" if self.wordnet is not None else "")
                   + ("+para" if self.paraphrases is not None else ""))
-        fw = ("none" if self.function_words is None else
-              "builtin" if self.function_words is FUNCTION_WORDS else
-              "custom")
-        return (f"stages={stages}, function_words={fw}, "
+        return (f"stages={stages}, function_words={self._fw_source}, "
                 f"aligner=exact-meteor-criteria")
 
     def compute_score(self, gts: Dict, res: List[Dict]):

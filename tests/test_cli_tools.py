@@ -399,6 +399,35 @@ def test_meteor_paraphrase_env_discovery(tmp_path, monkeypatch):
     assert M.find_paraphrase_path() is None
 
 
+def test_meteor_function_words_derive_load_env(tmp_path, monkeypatch):
+    """derive_function_words applies Meteor's own definition (relative
+    frequency > 1e-3); a derived list round-trips through the
+    function.words file format and the ISC_METEOR_FUNCTION_WORDS hook,
+    and Meteor().mode records the source."""
+    from insenticap_model_tpu.rewards import meteor as M
+
+    # 'the' appears 400/1000 tokens, 'rare' once: only 'the' (and the
+    # other frequent fillers) pass the 1e-3 relative-frequency bar
+    corpus = [["the", "dog", "runs"]] * 200 + [["the", "rare", "word"]]
+    fw = M.derive_function_words(corpus)
+    assert "the" in fw and "dog" in fw          # both frequent here
+    assert M.derive_function_words(corpus, min_rel_freq=0.5) == set()
+    assert M.derive_function_words([]) == set()
+
+    path = tmp_path / "function.words"
+    path.write_text("# header comment\n" + "\n".join(sorted(fw)) + "\n")
+    assert M.load_function_words(str(path)) == fw
+
+    monkeypatch.setenv("ISC_METEOR_FUNCTION_WORDS", str(path))
+    m = M.Meteor()
+    assert m.function_words == fw
+    assert "function_words=file" in m.mode
+    monkeypatch.delenv("ISC_METEOR_FUNCTION_WORDS")
+    assert M.find_function_words_path() is None
+    assert "function_words=builtin" in M.Meteor().mode
+    assert "function_words=none" in M.Meteor(function_words=None).mode
+
+
 def _oracle_span_key(cand, n_hyp):
     """Brute-force span-resolution oracle: enumerate EVERY subset of the
     flattened candidate span list, keep those one-to-one on both sides,
