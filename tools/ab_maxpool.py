@@ -13,7 +13,10 @@ fusion boundaries — CLAUDE.md):
               slices (6 elementwise max ops, W pass shrinks the tensor
               2x before the H pass);
   slices9   — all nine shifted stride-2 slices reduced in one pass
-              (8 max ops, every operand reads the full input).
+              (8 max ops, every operand reads the full input);
+  pallas    — the ops/pool_pallas.py kernel (W-parity packed into
+              lanes, one HBM pass), including its NHWC<->spatial-major
+              transposes at the boundary.
 
 Both pad bottom/right with -inf exactly like the reference's
 ceil_mode=True (reference encoder.py:12). Parity is asserted (exact —
@@ -34,6 +37,16 @@ WIN for slices9 — the per-call tunnel RTT (~45 ms) is not uniform
 across program shapes, so per-call-sync A/Bs can fabricate verdicts
 in EITHER direction. Always pipeline dispatches and sync once
 (CLAUDE.md measurement rules).
+
+CHIP VERDICT, pallas variant (r4 late): REJECTED too — 0.86x e2e
+(reduce_window 17.08 ms/batch, pallas 19.80; parity exact on-chip).
+Predicted by the ablation bound (tools/ablate_encoder.py): replacing
+the pool with a bare stride-2 subsample moves the FUSED e2e by only
+~0.6 ms, i.e. the 3.83 ms scan-profile attribution was a staging
+artifact and XLA already runs the fused pool near its floor; the
+kernel's two layout transposes + the broken conv1-epilogue fusion
+cost more than the 0.6 ms ceiling. The kernel stays (exact-parity,
+tests/test_pool_pallas.py) as the measured-rejected record.
 """
 import argparse
 import sys
@@ -82,10 +95,16 @@ def maxpool_slices9(x):
     return out
 
 
+def maxpool_pallas(x):
+    from insenticap_model_tpu.ops.pool_pallas import ceil_maxpool_3x3s2_nhwc
+    return ceil_maxpool_3x3s2_nhwc(x, interpret=jax.default_backend() != "tpu")
+
+
 VARIANTS = {
     "reduce_window": enc._ceil_maxpool_3x3s2,
     "separable": maxpool_separable,
     "slices9": maxpool_slices9,
+    "pallas": maxpool_pallas,
 }
 
 
@@ -114,30 +133,36 @@ def main():
     ap.add_argument("--bs", type=int, default=32)
     ap.add_argument("--hw", type=int, default=448)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--variants", default="separable,slices9,pallas",
+                    help="comma list of non-baseline variants to time")
     a = ap.parse_args()
+    chosen = [v.strip() for v in a.variants.split(",") if v.strip()]
+    assert all(v in VARIANTS for v in chosen), chosen
 
     rng = np.random.RandomState(0)
-    # parity at an odd extent too (exercises the ceil-mode pad branch)
+    # parity at an odd extent too (exercises the ceil-mode pad branch);
+    # C=64 keeps B*C a 128-multiple so the REAL pallas kernel runs on
+    # TPU (smaller C falls back to reduce_window there)
     for hw in (14, 13):
-        x = jnp.asarray(rng.randn(2, hw, hw, 8), jnp.float32)
+        x = jnp.asarray(rng.randn(2, hw, hw, 64), jnp.float32)
         ref = np.asarray(VARIANTS["reduce_window"](x))
-        for name in ("separable", "slices9"):
+        for name in ("separable", "slices9", "pallas"):
             got = np.asarray(VARIANTS[name](x))
             assert got.shape == ref.shape, (name, got.shape, ref.shape)
             np.testing.assert_array_equal(got, ref), name
-    print("parity: separable/slices9 == reduce_window (exact)")
+    print("parity: separable/slices9/pallas == reduce_window (exact)")
 
     backend = jax.default_backend()
     params = cast_bf16(enc.init_params(jax.random.PRNGKey(0)))
     imgs = rng.randint(0, 256, (a.bs, a.hw, a.hw, 3), np.uint8)
 
     res = {}
-    for name, fn in VARIANTS.items():
-        res[name] = _time_e2e(fn, params, imgs, a.iters)
+    for name in ["reduce_window"] + chosen:
+        res[name] = _time_e2e(VARIANTS[name], params, imgs, a.iters)
         print(f"{name:14s} e2e {res[name]:7.2f} ms/batch "
               f"({a.bs / res[name] * 1e3:6.0f} img/s)")
     base = res["reduce_window"]
-    for name in ("separable", "slices9"):
+    for name in chosen:
         r = base / res[name]
         verdict = "WIN" if r >= 1.03 else ("neutral" if r >= 0.99 else "LOSS")
         print(f"{name} vs reduce_window: {r:.2f}x -> {verdict}")

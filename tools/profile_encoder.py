@@ -24,6 +24,14 @@ classic TPU stem optimization:
 
 Run on the real chip (default env). CPU runs exercise the machinery and
 the s2d parity check only — absolute numbers are meaningless there.
+
+ATTRIBUTION CAVEAT (r4, measured): staging each stage in its own scan
+materializes boundaries XLA fuses away in the full program, so this
+table OVERSTATES stages that fuse with their neighbors — it said the
+stem maxpool costs 3.83 ms, but ablating the pool from the full fused
+forward moves e2e by only ~0.6 ms. Use the stage table to find
+candidates, then bound the real prize with tools/ablate_encoder.py
+(shape-preserving stand-in ablations) BEFORE building an optimization.
 """
 import argparse
 import sys
