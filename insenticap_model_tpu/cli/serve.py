@@ -23,6 +23,8 @@ Endpoints (JSON over HTTP):
                                    additionally needs --image_root
                -> {"caption", "sentiment", "score", "concepts"}
   GET  /stats  -> decode-batcher stats (+"encode": encode-batcher stats)
+  GET  /metrics-> the same counters + per-bucket latency quantiles +
+                  stall gauges in Prometheus text format
   GET  /healthz-> {"ok": true}; 503 {"ok": false, "stalled_s": N} when
                   a worker thread has been wedged on the device longer
                   than --unhealthy_after_s (dead backend link)
@@ -323,6 +325,14 @@ class ServeApp:
         out["encode"] = self.enc_batcher.stats()
         return out
 
+    def metrics_text(self) -> str:
+        """Prometheus exposition of both batchers (GET /metrics)."""
+        return serving_daemon.prometheus_metrics(
+            {"decode": self.batcher.stats(),
+             "encode": self.enc_batcher.stats()},
+            {"decode": self.batcher.stalled_for(),
+             "encode": self.enc_batcher.stalled_for()})
+
     def close(self):
         self.enc_batcher.close()
         self.batcher.close()
@@ -355,6 +365,14 @@ def make_server(a) -> ThreadingHTTPServer:
                     self._send(200, {"ok": True})
             elif self.path == "/stats":
                 self._send(200, app.stats())
+            elif self.path == "/metrics":
+                body = app.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 

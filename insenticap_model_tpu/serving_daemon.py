@@ -873,6 +873,50 @@ class EncodeBatcher(_BatcherBase):
             np.asarray(top).sum()
 
 
+def prometheus_metrics(stages: Dict[str, Dict],
+                       stalled: Optional[Dict[str, float]] = None) -> str:
+    """Render batcher ``stats()`` dicts as Prometheus text exposition
+    (version 0.0.4) for a /metrics endpoint. ``stages`` maps a stage
+    label (e.g. "decode", "encode") to that batcher's stats();
+    ``stalled`` optionally maps the same labels to ``stalled_for()``
+    seconds. Pure function — unit-tested on synthetic dicts
+    (tests/test_serving_daemon.py)."""
+    def esc(v) -> str:
+        return str(v).replace("\\", "\\\\").replace('"', '\\"')
+
+    counters = ("requests", "batches", "padded_rows",
+                "failed_requests", "failed_batches")
+    lines = []
+    for name in counters:
+        lines.append(f"# TYPE isc_{name}_total counter")
+        for stage, s in stages.items():
+            if name in s:
+                lines.append(
+                    f'isc_{name}_total{{stage="{esc(stage)}"}} {s[name]}')
+    lines.append("# TYPE isc_batches_by_bucket_total counter")
+    for stage, s in stages.items():
+        for bucket, n in sorted(s.get("by_bucket", {}).items(),
+                                key=lambda kv: str(kv[0])):
+            lines.append(f'isc_batches_by_bucket_total{{stage='
+                         f'"{esc(stage)}",bucket="{esc(bucket)}"}} {n}')
+    lines.append("# TYPE isc_request_latency_ms summary")
+    for stage, s in stages.items():
+        for bucket, d in sorted(s.get("latency_by_bucket", {}).items(),
+                                key=lambda kv: str(kv[0])):
+            tags = f'stage="{esc(stage)}",bucket="{esc(bucket)}"'
+            for q, key in (("0.5", "p50_ms"), ("0.99", "p99_ms")):
+                lines.append(f'isc_request_latency_ms{{{tags},'
+                             f'quantile="{q}"}} {d[key]}')
+            lines.append(
+                f'isc_request_latency_ms_count{{{tags}}} {d["n"]}')
+    if stalled:
+        lines.append("# TYPE isc_stalled_seconds gauge")
+        for stage, v in stalled.items():
+            lines.append(
+                f'isc_stalled_seconds{{stage="{esc(stage)}"}} {v:.3f}')
+    return "\n".join(lines) + "\n"
+
+
 def make_batcher_from_checkpoint(rl_model: str, *, beam_size: int = 3,
                                  max_seq_len: int = 16,
                                  bucket_sizes=None,

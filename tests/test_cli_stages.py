@@ -344,9 +344,15 @@ def test_j_serve_daemon_http(workdir):
         assert json.loads(c.getresponse().read()) == {"ok": True}
         c.request("GET", "/stats")
         stats = json.loads(c.getresponse().read())
+        c.request("GET", "/metrics")
+        r = c.getresponse()
+        ctype, metrics = r.getheader("Content-Type"), r.read().decode()
         c.close()
         assert stats["requests"] == 2
         assert stats["batches"] >= 1
+        assert ctype.startswith("text/plain")
+        assert 'isc_requests_total{stage="decode"} 2' in metrics
+        assert 'isc_stalled_seconds{stage="encode"}' in metrics
 
         status, body = post({"att": [[0.0]]})        # malformed: no fc
         assert status == 400 and "error" in body

@@ -660,3 +660,50 @@ def test_submit_blocks_on_condition_not_poll(params, settings):
         assert len(out) == 4
     finally:
         b.close()
+
+
+def test_prometheus_metrics_rendering():
+    """prometheus_metrics renders stats() dicts as valid text exposition:
+    counters per stage, per-bucket batch counts, latency quantiles with
+    a _count line, stall gauges, and escaped label values."""
+    from insenticap_model_tpu.serving_daemon import prometheus_metrics
+    decode = {"requests": 7, "batches": 3, "padded_rows": 2,
+              "failed_requests": 1, "failed_batches": 1,
+              "by_bucket": {1: 1, 384: 2},
+              "latency_by_bucket": {
+                  384: {"n": 6, "p50_ms": 12.5, "p99_ms": 40.0}}}
+    encode = {"requests": 4, "batches": 2, "padded_rows": 0,
+              "failed_requests": 0, "failed_batches": 0,
+              "by_bucket": {((448, 448), 32): 2},
+              "latency_by_bucket": {}}
+    text = prometheus_metrics({"decode": decode, "encode": encode},
+                              {"decode": 0.0, "encode": 1.5})
+    assert text.endswith("\n")
+    lines = text.splitlines()
+    assert 'isc_requests_total{stage="decode"} 7' in lines
+    assert 'isc_requests_total{stage="encode"} 4' in lines
+    assert 'isc_failed_batches_total{stage="decode"} 1' in lines
+    assert ('isc_batches_by_bucket_total{stage="decode",bucket="384"} 2'
+            in lines)
+    # tuple bucket keys stringify into the label value
+    assert any(l.startswith('isc_batches_by_bucket_total{stage="encode"')
+               and l.endswith(" 2") for l in lines)
+    assert ('isc_request_latency_ms{stage="decode",bucket="384",'
+            'quantile="0.5"} 12.5' in lines)
+    assert ('isc_request_latency_ms_count{stage="decode",bucket="384"} 6'
+            in lines)
+    assert 'isc_stalled_seconds{stage="encode"} 1.500' in lines
+    # every non-comment line is 'name{labels} value'
+    for line in lines:
+        if line.startswith("#"):
+            continue
+        name_labels, value = line.rsplit(" ", 1)
+        float(value)
+        assert name_labels.startswith("isc_")
+        if "{" in name_labels:
+            assert name_labels.endswith("}")
+    # label values must not contain raw quotes (escaping)
+    text2 = prometheus_metrics(
+        {"decode": {"requests": 0, "by_bucket": {'a"b': 1},
+                    "latency_by_bucket": {}}})
+    assert 'bucket="a\\"b"' in text2
