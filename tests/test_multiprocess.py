@@ -68,6 +68,18 @@ def test_multihost_daemon_control_plane_matches_single():
     assert mp["batches"] >= 2           # really coalesced + dispatched
 
 
+def test_multihost_daemon_four_followers():
+    """Same daemon control plane at 4 real processes (three concurrent
+    follower loops mirroring process 0): the broadcast/stage/allgather
+    order must hold beyond the pairwise case — bucket padding spans a
+    (4,)-mesh data axis and every follower must see identical control
+    vectors through >= 2 dispatches."""
+    mod = _load_tool("mh_daemon4", "multihost_daemon_check.py")
+    res = mod.launch(tmpdir="/tmp/isc_mh_daemon4", nprocs=4)
+    mod.compare(res, 4)
+    assert res["multiprocess"]["batches"] >= 2
+
+
 def test_eight_process_dp_xe_step_matches_single():
     """(8,) data mesh with 8 REAL processes (VERDICT r3 #6: the 8-wide
     story executed, not extrapolated from the virtual-device dryrun):

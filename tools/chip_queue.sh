@@ -32,6 +32,7 @@ run bench              3000 $BENCH_ENV python bench.py
 run ab_scan_unroll     2400 python tools/ab_scan_unroll.py
 run profile_encoder    2400 python tools/profile_encoder.py both
 run ablate_encoder     1800 python tools/ablate_encoder.py
+run ablate_serving     3500 python tools/ablate_serving.py
 run ab_maxpool         2400 python tools/ab_maxpool.py --variants pallas
 run bench_daemon_image 1800 python tools/bench_daemon.py image
 run bench_calibrated   3000 $BENCH_ENV env ISC_BENCH_CALIBRATED=1 python bench.py

@@ -30,7 +30,11 @@ import threading
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 V, T, M = 30, 8, 6
-NREQ = 4   # > bucket 2 -> at least two dispatches
+
+
+def _nreq(nprocs: int) -> int:
+    """> the (nprocs,) bucket -> at least two dispatches at any width."""
+    return 2 * nprocs
 
 
 def _free_port() -> int:
@@ -40,11 +44,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _requests(settings):
+def _requests(settings, nreq: int):
     import numpy as np
     g = np.random.default_rng(3)
     reqs = []
-    for i in range(NREQ):
+    for i in range(nreq):
         reqs.append((
             g.normal(size=(settings.fc_feat_dim,)).astype(np.float32),
             g.normal(size=(14, 14, settings.att_feat_dim)).astype(
@@ -86,13 +90,14 @@ def _run(nprocs: int, out_path: str, distributed: bool, pid: int = 0,
         return
 
     b.warm()
-    reqs = _requests(settings)
-    out = [None] * NREQ
+    nreq = _nreq(nprocs)
+    reqs = _requests(settings, nreq)
+    out = [None] * nreq
     ts = [threading.Thread(
         target=lambda i=i: out.__setitem__(
             i, b.submit(reqs[i][0], reqs[i][1], reqs[i][2],
                         forced_label=int(reqs[i][3]), timeout=300)))
-        for i in range(NREQ)]
+        for i in range(nreq)]
     for t in ts:
         t.start()
     for t in ts:
