@@ -64,7 +64,9 @@ def _pick_tiles(oh: int, ow: int, bc: int, itemsize: int):
     against a 12 MB slice of v5e's 16 MB scoped VMEM (measured: the
     first cut budgeted single-buffered and OOM'd at exactly 2x)."""
     divisors = [d for d in range(1, min(oh, 16) + 1) if oh % d == 0]
-    lbs = [lb for lb in (512, 256, 128) if bc % lb == 0] or [min(bc, 512)]
+    # fallback MUST divide bc (a non-divisor block would mis-place the
+    # odd-column half at lane offset lb*nl != bc): whole-lane block
+    lbs = [lb for lb in (512, 256, 128) if bc % lb == 0] or [bc]
     budget = 12 * 2 ** 20
     for lb in lbs:
         for hb in reversed(divisors):

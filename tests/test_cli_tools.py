@@ -406,11 +406,12 @@ def test_meteor_function_words_derive_load_env(tmp_path, monkeypatch):
     and Meteor().mode records the source."""
     from insenticap_model_tpu.rewards import meteor as M
 
-    # 'the' appears 400/1000 tokens, 'rare' once: only 'the' (and the
-    # other frequent fillers) pass the 1e-3 relative-frequency bar
-    corpus = [["the", "dog", "runs"]] * 200 + [["the", "rare", "word"]]
+    # 1203 tokens total: 'rare' appears once (1/1203 < 1e-3, excluded at
+    # the DEFAULT threshold), the fillers appear 400x (included)
+    corpus = [["the", "dog", "runs"]] * 400 + [["the", "rare", "word"]]
     fw = M.derive_function_words(corpus)
-    assert "the" in fw and "dog" in fw          # both frequent here
+    assert "the" in fw and "dog" in fw          # frequent -> included
+    assert "rare" not in fw and "word" not in fw  # below 1e-3 -> excluded
     assert M.derive_function_words(corpus, min_rel_freq=0.5) == set()
     assert M.derive_function_words([]) == set()
 

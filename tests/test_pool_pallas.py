@@ -23,7 +23,10 @@ ON_TPU = jax.default_backend() == "tpu"
     (3, 9, 11, 8),      # H != W
     (1, 8, 8, 128),     # full lane tile
     (2, 7, 7, 3),       # tiny, C=3
-    (2, 30, 26, 16),    # multi-tile H grid (oh=15, hb=15; ow=13)
+    (2, 36, 26, 16),    # REAL multi-tile H grid (oh=18, hb=9: 2 steps,
+                        # exercises the tail-block handoff at i>0)
+    (9, 14, 14, 64),    # bc=576 > 512 and not a 128-multiple: the
+                        # lane-block fallback must still divide bc
 ])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_pool_pallas_matches_reduce_window(shape, dtype):

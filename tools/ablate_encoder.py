@@ -56,10 +56,17 @@ def _time(fwd, params, imgs, iters):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bs", type=int, default=32)
-    ap.add_argument("--hw", type=int, default=448)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--bs", type=int, default=0,
+                    help="0 = 32 on TPU, 2 elsewhere")
+    ap.add_argument("--hw", type=int, default=0,
+                    help="0 = 448 on TPU, 64 elsewhere")
+    ap.add_argument("--iters", type=int, default=0,
+                    help="0 = 30 on TPU, 2 elsewhere")
     a = ap.parse_args()
+    on_tpu = jax.default_backend() == "tpu"
+    a.bs = a.bs or (32 if on_tpu else 2)
+    a.hw = a.hw or (448 if on_tpu else 64)
+    a.iters = a.iters or (30 if on_tpu else 2)
 
     rng = np.random.RandomState(0)
     params = cast_bf16(enc.init_params(jax.random.PRNGKey(0)))
