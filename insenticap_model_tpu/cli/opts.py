@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rl_fact_times", type=int, default=d.rl_fact_times)
     p.add_argument("--rl_senti_times", type=int, default=d.rl_senti_times)
     p.add_argument("--rl_lm_flag", type=float, default=d.rl_lm_flag)
+    p.add_argument("--rl_detector_dtype", type=str,
+                   default=d.rl_detector_dtype,
+                   choices=["f32", "bf16"])
     # common (:52-63)
     p.add_argument("--dataset_name", type=str, default=d.dataset_name,
                    choices=["coco", "flickr30k"])

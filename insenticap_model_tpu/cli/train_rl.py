@@ -18,6 +18,7 @@ import random
 from collections import defaultdict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Opts
@@ -180,7 +181,20 @@ def train(opt: Opts):
     senti_params = rt.replicate(rt.cast(senti_params))
     cls_params = rt.replicate(rt.cast(cls_params))
     opt_state = rt.place_opt_state(opt_state, params, tx)
-    frozen = steps.RLModels(senti_detector=senti_params,
+    # Frozen-detector precision (config.rl_detector_dtype): the detector
+    # is label-only inside the RL step and its sample runs outside the
+    # differentiated closure, so bf16 staging engages the serving-grade
+    # pallas Winograd stack without touching training numerics. Default
+    # f32 per the measured chip A/B (-1.3% e2e for bf16 at rl_bs=40 —
+    # tools/ab_rl_detector.py). Checkpoints and the serving test dumps
+    # keep the rt-staged senti_params either way.
+    if opt.rl_detector_dtype == "bf16":
+        frozen_det = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, senti_params)
+    else:
+        frozen_det = senti_params
+    frozen = steps.RLModels(senti_detector=frozen_det,
                             sent_senti_cls=cls_params)
 
     PHASES = {"senti": 0, "fact": 1, "val": 2}
@@ -224,7 +238,7 @@ def train(opt: Opts):
     ck_dir, result_dir = common.stage_dirs(opt, "rl")
     for epoch in range(epoch0, opt.rl_epochs):
         print(f"--------------------epoch: {epoch}")
-        frozen = steps.RLModels(senti_detector=senti_params,
+        frozen = steps.RLModels(senti_detector=frozen_det,
                                 sent_senti_cls=cls_params)
         for i in range(opt.rl_senti_times):
             print(f"----------rl_senti_times: {i}")

@@ -95,6 +95,19 @@ class Opts:
     # > 0, per-sentiment id-form ARPA LMs ({senti}_id.sri) are scored on
     # device and sign(lm(greedy)-lm(sample)) joins the SCST rewards.
     rl_lm_flag: float = 0.0
+    # Frozen-detector precision inside the RL step. "bf16" stages the
+    # (frozen, label-only) sentiment detector in bf16 so it rides the
+    # serving-grade pallas Winograd stack; training numerics are
+    # untouched either way (the detector's sample runs outside the
+    # differentiated closure, steps.py _forward, and only its labels
+    # enter the step). Default f32 is a MEASURED verdict, not caution:
+    # the chip ABBA (tools/ab_rl_detector.py, r4) put bf16 at -1.3% e2e
+    # (23.10 vs 22.80 ms at rl_bs=40) — the f32->bf16 cast of the
+    # [bs,14,14,2048] atts plus the pallas call breaking fusion inside
+    # the big train program eat more than the 3.34 ms conv bound saves
+    # at this batch size (same pallas-in-scan lesson as the fused-topk
+    # kernel, DESIGN.md).
+    rl_detector_dtype: str = "f32"               # "f32" | "bf16"
     # common
     dataset_name: str = "coco"
     corpus_type: str = "part"

@@ -24,6 +24,7 @@ parity-tested against the reference.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple
 
 import jax
@@ -324,9 +325,26 @@ def cider_d(tables: CiderTables, hyp_ids, hyp_len, img_rows):
 def self_critical_reward(tables: CiderTables, sample_seq, greedy_seq,
                          img_rows, eos: int):
     """Full SCST advantage on device: score(sample) - score(greedy),
-    broadcast over timesteps (reference self_critical/utils.py:56-83)."""
+    broadcast over timesteps (reference self_critical/utils.py:56-83).
+
+    Both rollouts score in ONE cider_d call over [2bs] rows (the
+    reference scores them in one compute_score call too,
+    utils.py:68-74): the scorer is a composition of many tiny [N,T,T]
+    VPU ops, so one [2bs] program halves the op count vs two [bs]
+    programs. Row-wise numerics are identical either way (vmap);
+    ISC_CIDERD_MERGED=0 restores the two-call form for A/B
+    (tools/ab_ciderd_merge.py; trace-time knob like ISC_SCAN_UNROLL)."""
     T = sample_seq.shape[1]
-    cs, ls = jax.vmap(lambda s: canonicalize(s, eos, T + 1))(sample_seq)
-    cg, lg = jax.vmap(lambda s: canonicalize(s, eos, T + 1))(greedy_seq)
-    adv = cider_d(tables, cs, ls, img_rows) - cider_d(tables, cg, lg, img_rows)
+    bs = sample_seq.shape[0]
+    if os.environ.get("ISC_CIDERD_MERGED", "1") != "0":
+        both = jnp.concatenate([sample_seq, greedy_seq], axis=0)
+        cb, lb = jax.vmap(lambda s: canonicalize(s, eos, T + 1))(both)
+        scores = cider_d(tables, cb, lb,
+                         jnp.concatenate([img_rows, img_rows], axis=0))
+        adv = scores[:bs] - scores[bs:]
+    else:
+        cs, ls = jax.vmap(lambda s: canonicalize(s, eos, T + 1))(sample_seq)
+        cg, lg = jax.vmap(lambda s: canonicalize(s, eos, T + 1))(greedy_seq)
+        adv = (cider_d(tables, cs, ls, img_rows)
+               - cider_d(tables, cg, lg, img_rows))
     return jnp.repeat(adv[:, None], T, axis=1)

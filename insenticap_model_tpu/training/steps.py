@@ -171,10 +171,22 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
         rmask = _row_mask(batch, batch["fc"].shape[0])
 
         if data_type == "fact" or not training:
-            # sentiment labels from the image detector (decoder.py:82-84)
+            # sentiment labels from the image detector (decoder.py:82-84).
+            # The detector is frozen and label-only here (sample runs
+            # OUTSIDE the differentiated rollout_loss closure), so its
+            # input follows the STAGED dtype of the frozen params: a
+            # caller staging them bf16 (train_rl --rl_detector_dtype
+            # bf16) gets the serving-grade pallas Winograd stack
+            # (sentiment_detector.forward fast path) instead of the f32
+            # direct convs. Measured-REJECTED as the default (-1.3% e2e
+            # at rl_bs=40, tools/ab_rl_detector.py): the cast + the
+            # pallas call breaking fusion mid-program cost more than
+            # the convs save at train batch sizes.
+            det_params = frozen.senti_detector
+            det_dtype = jax.tree_util.tree_leaves(det_params)[0].dtype
             senti_labels, _, _ = senti_det.sample(
-                frozen.senti_detector, batch["att"], SENTI_THRESHOLD,
-                ids.neutral)
+                det_params, batch["att"].astype(det_dtype),
+                SENTI_THRESHOLD, ids.neutral)
             senti_labels = jax.lax.stop_gradient(senti_labels)
         else:
             senti_labels = batch["senti_labels"]

@@ -226,6 +226,57 @@ def test_rl_steps(settings):
         assert float(cb[k]) == pytest.approx(float(ca[k])), k
 
 
+def test_rl_detector_bf16_labels(settings):
+    """The RL step routes the frozen sentiment detector by the STAGED
+    dtype of its params (steps.py _forward): bf16-staged params engage
+    the serving-grade conv stack (pallas Winograd on TPU, bf16 direct
+    elsewhere) while training numerics stay f32. Verifies (a) the step
+    executes end-to-end with bf16 frozen params, (b) label agreement
+    with f32 at the production threshold is exact on this batch, and
+    (c) the raw-argmax (threshold 0) flip rate is small — bf16 can only
+    flip near-tie rows."""
+    g = np.random.default_rng(11)
+    bs = 8
+    fns = [f"img{i}" for i in range(bs)]
+    tables, fn2row, _ = _tiny_cider_tables(g, fns)
+    params = cap.init_params(jax.random.PRNGKey(0), V, 3, settings)
+    det_f32 = senti_det.init_params(jax.random.PRNGKey(1), 3, settings)
+    det_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), det_f32)
+    cls_params = ss_cls.init_params(jax.random.PRNGKey(2), V, 3, settings)
+
+    batch = _cap_batch(g, bs, settings)
+    batch["att"] = g.normal(
+        size=(bs, 14, 14, settings.att_feat_dim)).astype(np.float32)
+    batch["sentis"] = g.integers(4, V, size=(bs, 6)).astype(np.int32)
+    batch["img_rows"] = np.asarray([fn2row[fn] for fn in fns], np.int32)
+    scs = _scs_batch(g, bs, settings)
+
+    # (b)+(c): label parity straight off the detector (same math the step
+    # traces). Production threshold first, then raw argmax (thr=0).
+    att = jnp.asarray(batch["att"])
+    lab32 = np.asarray(senti_det.sample(det_f32, att, 0.7, IDS.neutral)[0])
+    lab16 = np.asarray(senti_det.sample(
+        det_bf16, att.astype(jnp.bfloat16), 0.7, IDS.neutral)[0])
+    np.testing.assert_array_equal(lab32, lab16)
+    arg32 = np.asarray(senti_det.sample(det_f32, att, 0.0, IDS.neutral)[0])
+    arg16 = np.asarray(senti_det.sample(
+        det_bf16, att.astype(jnp.bfloat16), 0.0, IDS.neutral)[0])
+    assert (arg32 == arg16).mean() >= 0.75  # near-tie rows only
+
+    # (a): the full jitted RL fact step runs with bf16 frozen detector
+    tx = optim.make_optimizer(4e-5)
+    rl = steps.make_rl_steps(settings, tx, IDS, MAXLEN, tables)
+    frozen = steps.RLModels(senti_detector=det_bf16,
+                            sent_senti_cls=cls_params)
+    fact_in = {k: batch[k] for k in ("fc", "att", "caps", "lengths",
+                                     "cpts", "sentis", "img_rows")}
+    _, _, losses = rl[("fact", True)](params, tx.init(params), frozen,
+                                      fact_in, scs, jax.random.PRNGKey(3))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
 def _tree_allclose(a, b, rtol=5e-3, atol=1e-4):
     # tolerance covers reduction-order drift amplified by the LSTM scan and
     # Adam's rsqrt; a wrong-axis mean/psum is off by O(n_devices), far above

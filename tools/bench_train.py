@@ -5,7 +5,13 @@ jitted SCST-RL step (2 rollouts + on-device CIDEr-D + cls reward + aux
 losses) — the two hot training loops (reference train_xe.py / train_rl.py).
 
     python tools/bench_train.py [xe_bs] [rl_bs]
+
+ISC_RL_DETECTOR_BF16=1 stages the frozen sentiment detector in bf16 (the
+RL step then runs it through the serving-grade pallas Winograd stack —
+steps.py routes the detector input by the frozen params' dtype); default
+0 here = f32 exact. A/B: tools/ab_rl_detector.py.
 """
+import os
 import sys
 import time
 
@@ -65,6 +71,10 @@ def main():
     params = cap.init_params(jax.random.PRNGKey(0), V, 3, s)
     cls_params = ss_cls.init_params(jax.random.PRNGKey(1), V, 3, s)
     senti_params = sd.init_params(jax.random.PRNGKey(2), 3, s)
+    if os.environ.get("ISC_RL_DETECTOR_BF16", "0") == "1":
+        senti_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), senti_params)
+        print("frozen senti detector staged bf16 (pallas Winograd path)")
 
     # XE: steps donate params/opt_state — rebuild per call is unfair;
     # instead chain donation by reusing returned state inside the timer.

@@ -35,6 +35,9 @@ run ablate_encoder     1800 python tools/ablate_encoder.py
 run ablate_serving     3500 python tools/ablate_serving.py
 run ab_maxpool         2400 python tools/ab_maxpool.py --variants pallas
 run bench_daemon_image 1800 python tools/bench_daemon.py image
+run ablate_train       7200 python tools/ablate_train.py --step both
+run ab_ciderd_merge    3600 python tools/ab_ciderd_merge.py
+run ab_rl_detector     3600 python tools/ab_rl_detector.py
 run bench_calibrated   3000 $BENCH_ENV env ISC_BENCH_CALIBRATED=1 python bench.py
 
 echo "all stage logs in $OUT"
