@@ -14,6 +14,9 @@ Stand-ins (all keep downstream shapes/dtypes, not values):
   maxpool -> stride-2 subsample           (removes the 3x3 window max)
   stem    -> 1x1/s2 conv (+bn+relu)       (removes the 7x7 window walk)
   layer1  -> single 1x1 conv 64->256      (removes 3 bottleneck blocks)
+  conv2@layerN -> center-tap 1x1 conv     (removes 8/9 of that layer's
+                                           3x3 multiplies + window walk;
+                                           bounds the Winograd prize)
 
     python tools/ablate_encoder.py [--bs 32] [--hw 448] [--iters 30]
 
@@ -133,6 +136,47 @@ def main():
             enc._trunk = orig
 
     report("ablate layer1", _time(fwd_nolayer1, params, imgs, a.iters))
+
+    # --- per-layer 3x3 conv2 -> center-tap 1x1 -------------------------
+    # Bounds what ANY fewer-multiply 3x3 algorithm (Winograd) could win
+    # for that layer: the stand-in keeps the real center tap (opaque,
+    # live weights + input) but drops the other 8 taps and the window
+    # walk entirely. stride is always 1 on conv2 (the reference moves
+    # stride-2 to conv1 — encoder.py:14-15), so the 1x1 keeps shapes.
+    def make_trunk_conv2_1x1(target_li):
+        def bottleneck(p, x, stride):
+            out = jax.nn.relu(enc._bn(p["bn1"],
+                                      enc._conv(p["conv1"], x, stride, 0)))
+            w = {"w": p["conv2"]["w"][1:2, 1:2]}
+            out = jax.nn.relu(enc._bn(p["bn2"], enc._conv(w, out, 1, 0)))
+            out = enc._bn(p["bn3"], enc._conv(p["conv3"], out, 1, 0))
+            if "downsample" in p:
+                x = enc._bn(p["downsample"]["bn"],
+                            enc._conv(p["downsample"]["conv"], x, stride, 0))
+            return jax.nn.relu(out + x)
+
+        def trunk(pp, xx, att_size):
+            xx = enc._ceil_maxpool_3x3s2(xx)
+            for li, layer in enumerate(pp["layers"]):
+                for b, blk in enumerate(layer):
+                    stride = 2 if (li > 0 and b == 0) else 1
+                    bn_fn = bottleneck if li == target_li else enc._bottleneck
+                    xx = bn_fn(blk, xx, stride)
+            fc = xx.mean(axis=(1, 2))
+            from insenticap_model_tpu.ops.adaptive_pool import \
+                adaptive_avg_pool2d
+            att = adaptive_avg_pool2d(xx, (att_size, att_size))
+            return fc, att
+        return trunk
+
+    orig_trunk = enc._trunk
+    for li in range(4):
+        enc._trunk = make_trunk_conv2_1x1(li)
+        try:
+            report(f"ablate 3x3@layer{li + 1}",
+                   _time(enc.forward_raw_batch, params, imgs, a.iters))
+        finally:
+            enc._trunk = orig_trunk
 
 
 if __name__ == "__main__":
