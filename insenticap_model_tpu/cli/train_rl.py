@@ -18,7 +18,6 @@ import random
 from collections import defaultdict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Opts
@@ -29,6 +28,7 @@ from ..ops import ciderd_device
 from ..rewards.ciderd import build_scorer
 from ..training import checkpoint as ckpt
 from ..training import optim, steps
+from ..utils import dtypes
 from .. import inference
 from ..data.loaders import CycleIterator, device_prefetch
 from . import common
@@ -178,22 +178,23 @@ def train(opt: Opts):
 
     params = rt.place_captioner(rt.cast(params))
     rt.disable_pallas_for_sharded_decode()  # before serving fns trace
-    senti_params = rt.replicate(rt.cast(senti_params))
-    cls_params = rt.replicate(rt.cast(cls_params))
-    opt_state = rt.place_opt_state(opt_state, params, tx)
     # Frozen-detector precision (config.rl_detector_dtype): the detector
     # is label-only inside the RL step and its sample runs outside the
     # differentiated closure, so bf16 staging engages the serving-grade
     # pallas Winograd stack without touching training numerics. Default
     # f32 per the measured chip A/B (-1.3% e2e for bf16 at rl_bs=40 —
-    # tools/ab_rl_detector.py). Checkpoints and the serving test dumps
-    # keep the rt-staged senti_params either way.
-    if opt.rl_detector_dtype == "bf16":
-        frozen_det = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, senti_params)
-    else:
-        frozen_det = senti_params
+    # tools/ab_rl_detector.py). Staged from the PRE-rt.cast params and
+    # cast explicitly in BOTH directions so the knob is honored
+    # independently of --compute_dtype (under compute_dtype=bfloat16 the
+    # rt.cast copy is bf16; the measured f32 default must still win out).
+    # Checkpoints and the serving test dumps keep the rt-staged
+    # senti_params either way.
+    frozen_det = rt.replicate(
+        dtypes.cast_bf16(senti_params) if opt.rl_detector_dtype == "bf16"
+        else dtypes.cast_f32(senti_params))
+    senti_params = rt.replicate(rt.cast(senti_params))
+    cls_params = rt.replicate(rt.cast(cls_params))
+    opt_state = rt.place_opt_state(opt_state, params, tx)
     frozen = steps.RLModels(senti_detector=frozen_det,
                             sent_senti_cls=cls_params)
 
@@ -238,8 +239,6 @@ def train(opt: Opts):
     ck_dir, result_dir = common.stage_dirs(opt, "rl")
     for epoch in range(epoch0, opt.rl_epochs):
         print(f"--------------------epoch: {epoch}")
-        frozen = steps.RLModels(senti_detector=frozen_det,
-                                sent_senti_cls=cls_params)
         for i in range(opt.rl_senti_times):
             print(f"----------rl_senti_times: {i}")
             loss = run_split(senti_loaders["train"], "senti", True, epoch,

@@ -183,7 +183,10 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
             # pallas call breaking fusion mid-program cost more than
             # the convs save at train batch sizes.
             det_params = frozen.senti_detector
-            det_dtype = jax.tree_util.tree_leaves(det_params)[0].dtype
+            # dtype from a KNOWN weight leaf (not tree_leaves[0], whose
+            # identity depends on key sort order): conv weights decide
+            # whether the bf16 Winograd fast path engages.
+            det_dtype = det_params["convs"][0]["w"].dtype
             senti_labels, _, _ = senti_det.sample(
                 det_params, batch["att"].astype(det_dtype),
                 SENTI_THRESHOLD, ids.neutral)

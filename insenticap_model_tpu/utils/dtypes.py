@@ -15,3 +15,12 @@ def cast_bf16(tree):
     return jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
+
+
+def cast_f32(tree):
+    """Inverse policy cast: float leaves -> float32, integer/bool leaves
+    untouched. Same leaf predicate as cast_bf16 so a round trip touches
+    exactly the same leaves."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)

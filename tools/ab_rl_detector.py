@@ -14,8 +14,8 @@ Runs bench_train in subprocesses with the knob alternating
 bf16/f32/f32/bf16 (ABBA absorbs monotonic drift on the shared chip),
 parses the RL line, prints the verdict. Numerics caveat measured
 separately: bf16 can flip borderline argmax/threshold labels —
-tests/test_steps.py::test_rl_detector_bf16_labels quantifies it on a
-fixed batch.
+tests/test_training_steps.py::test_rl_detector_bf16_labels quantifies
+it on a fixed batch.
 
     python tools/ab_rl_detector.py [xe_bs=128] [rl_bs=40]
 
@@ -28,38 +28,16 @@ fences XLA fusion mid-program (the pallas-in-scan lesson again). The
 knob stays (--rl_detector_dtype bf16) for bigger-batch RL configs; see
 DESIGN.md round-4 item 11.
 """
-import os
-import re
-import subprocess
 import sys
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-
-
-def run_one(bf16: int, xe_bs: int, rl_bs: int) -> float:
-    env = dict(os.environ, ISC_RL_DETECTOR_BF16=str(bf16))
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench_train.py"),
-         str(xe_bs), str(rl_bs)],
-        env=env, capture_output=True, text=True, timeout=3600).stdout
-    m = re.search(r"RL step bs=\d+: ([\d.]+) ms", out)
-    if not m:
-        raise RuntimeError(f"unparseable bench_train output:\n{out}")
-    return float(m.group(1))
+from _ab_common import abba
 
 
 def main():
     xe_bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     rl_bs = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    runs = []
-    for bf16 in (1, 0, 0, 1):                    # ABBA
-        ms = run_one(bf16, xe_bs, rl_bs)
-        runs.append((bf16, ms))
-        print(f"detector_bf16={bf16}: RL {ms:.2f} ms", flush=True)
-    a = min(ms for b, ms in runs if b == 1)      # bf16 winograd
-    b = min(ms for b_, ms in runs if b_ == 0)    # f32 direct
-    print(f"RL: detector bf16 {a:.2f} ms vs f32 {b:.2f} ms -> "
-          f"{'WIN' if a < b * 0.97 else 'no win'} ({(b / a - 1) * 100:+.1f}%)")
+    abba("ISC_RL_DETECTOR_BF16", 1, 0, xe_bs, rl_bs,
+         metrics=("RL",), label="detector_bf16")
 
 
 if __name__ == "__main__":

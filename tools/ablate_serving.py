@@ -58,9 +58,23 @@ def _time(params, fc, att, sentis, settings, iters):
 
 
 # --- stand-ins ------------------------------------------------------------
+# Opacity rule (CLAUDE.md, tools/ablate_train._opaque): every stand-in
+# output ties to a live input through a FLOAT zero — int 0*x legally
+# constant-folds, and constant labels/indices let XLA fold the senti
+# embedding gathers / beam-select one-hot einsums downstream, polluting
+# the bound with neighbor-stage savings.
+
+
+def _opaque_zero_i32(x):
+    """Zero int32 scalar XLA cannot treat as a constant (float-zero tie
+    to a live input; the int form folds — HLO-verified)."""
+    return (jnp.zeros((), jnp.float32)
+            * x.reshape(-1)[0].astype(jnp.float32)).astype(jnp.int32)
+
 
 def _detector_stub(p, att, thr, neutral):
-    return (jnp.zeros((att.shape[0],), jnp.int32), None, None)
+    z = _opaque_zero_i32(att)
+    return (jnp.broadcast_to(z, (att.shape[0],)), None, None)
 
 
 def _attention_stub(h_att, p_cont, att, p_att, *, B, tile_b):
@@ -88,8 +102,8 @@ def _cell_no_senti_fuse(params, sctx, att, p_att, state, last_flat, *,
 
 def _topk_stub(x, k):
     vals = x[..., :k]
-    idxs = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32),
-                            vals.shape).astype(jnp.int32)
+    idxs = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)
+                            + _opaque_zero_i32(x), vals.shape)
     return vals, idxs
 
 

@@ -61,8 +61,15 @@ V, T, M = 10000, 16, 10
 # from exactly that, an ablation artifact, not a stage cost.
 
 def _opaque(x, shape, dtype=jnp.float32):
-    """Zero tensor of `shape` that XLA cannot treat as a constant."""
-    z = jnp.zeros((), x.dtype) * x.reshape(-1)[0]
+    """Zero tensor of `shape` that XLA cannot treat as a constant.
+
+    The zero MUST be formed in float arithmetic: XLA legally folds
+    int 0*x to a constant (no NaN/inf to preserve), which disconnects
+    the stand-in from the live input for int32 sources (sample_seq,
+    caps) — verified by HLO dump. Float 0*x keeps the data dependency
+    (x could be NaN/inf), and the final astype of a non-constant zero
+    stays live for integer outputs too."""
+    z = jnp.zeros((), jnp.float32) * x.reshape(-1)[0].astype(jnp.float32)
     return jnp.broadcast_to(z, shape).astype(dtype)
 
 
@@ -199,7 +206,7 @@ def _run_ablations(label, ablations, build, bs, only=None):
         finally:
             for mod, attr, orig in origs:
                 setattr(mod, attr, orig)
-        print(f"{label} ablate {name:<13s}{t:7.2f} ms/step  -> stage bound "
+        print(f"{label} ablate {name:<14s}{t:7.2f} ms/step  -> stage bound "
               f"{base - t:5.2f} ms ({(base - t) / base * 100:4.1f}% of "
               f"e2e)", flush=True)
 

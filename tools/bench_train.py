@@ -28,6 +28,7 @@ from insenticap_model_tpu.models import sentiment_detector as sd  # noqa: E402
 from insenticap_model_tpu.ops import ciderd_device  # noqa: E402
 from insenticap_model_tpu.rewards.ciderd import build_scorer  # noqa: E402
 from insenticap_model_tpu.training import optim, steps  # noqa: E402
+from insenticap_model_tpu.utils.dtypes import cast_bf16  # noqa: E402
 
 IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
 V, T, M = 10000, 16, 10
@@ -72,8 +73,9 @@ def main():
     cls_params = ss_cls.init_params(jax.random.PRNGKey(1), V, 3, s)
     senti_params = sd.init_params(jax.random.PRNGKey(2), 3, s)
     if os.environ.get("ISC_RL_DETECTOR_BF16", "0") == "1":
-        senti_params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), senti_params)
+        # the one policy cast (utils/dtypes) so the A/B stages exactly
+        # what train_rl --rl_detector_dtype bf16 ships
+        senti_params = cast_bf16(senti_params)
         print("frozen senti detector staged bf16 (pallas Winograd path)")
 
     # XE: steps donate params/opt_state — rebuild per call is unfair;
