@@ -707,3 +707,21 @@ def test_prometheus_metrics_rendering():
         {"decode": {"requests": 0, "by_bucket": {'a"b': 1},
                     "latency_by_bucket": {}}})
     assert 'bucket="a\\"b"' in text2
+
+
+@pytest.mark.slow
+def test_soak_tool_sustained_load():
+    """tools/soak_daemon.py end to end at CPU scale: sustained
+    closed-loop load, RSS/watchdog/percentile sampling, drain under
+    load — the tool must exit 0 and print SOAK OK (the chip record in
+    DESIGN.md round-4 is the same tool at production dims)."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.join(os.path.dirname(__file__), "..")
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "soak_daemon.py"),
+         "--secs", "8", "--bucket", "4", "--threads", "4"],
+        capture_output=True, text=True, timeout=300, cwd=root)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "SOAK OK" in p.stdout, p.stdout + p.stderr

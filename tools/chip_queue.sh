@@ -39,5 +39,6 @@ run ablate_train       7200 python tools/ablate_train.py --step both
 run ab_ciderd_merge    3600 python tools/ab_ciderd_merge.py
 run ab_rl_detector     3600 python tools/ab_rl_detector.py
 run bench_calibrated   3000 $BENCH_ENV env ISC_BENCH_CALIBRATED=1 python bench.py
+run soak_daemon        1500 python tools/soak_daemon.py
 
 echo "all stage logs in $OUT"
