@@ -83,3 +83,31 @@ def test_adaptive_avg_pool_matches_torch(in_size, out_size):
         torch.from_numpy(x.transpose(0, 3, 1, 2)), [out_size, out_size])
     theirs = theirs.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+
+def test_policy_casts_roundtrip_same_leaves():
+    """utils/dtypes.cast_bf16 and cast_f32 are the ONE definition of the
+    serving cast (train_rl --rl_detector_dtype, serve.py, bench tools):
+    both touch exactly the float leaves and leave int/bool leaves alone,
+    so a round trip restores the original dtypes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from insenticap_model_tpu.utils.dtypes import cast_bf16, cast_f32
+
+    tree = {"w": jnp.ones((2, 2), jnp.float32),
+            "b16": jnp.ones((3,), jnp.bfloat16),
+            "ids": jnp.arange(4, dtype=jnp.int32),
+            "flag": jnp.asarray([True, False]),
+            "nested": [{"v": np.ones((2,), np.float32)}]}
+    down = cast_bf16(tree)
+    assert down["w"].dtype == jnp.bfloat16
+    assert down["b16"].dtype == jnp.bfloat16
+    assert down["ids"].dtype == jnp.int32
+    assert down["flag"].dtype == jnp.bool_
+    assert down["nested"][0]["v"].dtype == jnp.bfloat16
+    up = cast_f32(down)
+    assert up["w"].dtype == jnp.float32
+    assert up["b16"].dtype == jnp.float32      # policy: ALL floats -> f32
+    assert up["ids"].dtype == jnp.int32
+    assert up["flag"].dtype == jnp.bool_
