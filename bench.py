@@ -14,7 +14,14 @@ REF_BENCH.json). An A100-class GPU would run the reference faster — the
 separate `vs_a100_estimate` field uses a ~25 captions/s extrapolation and
 is labeled as such.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"value" is the MEDIAN of 3 best-of-3 blocks with the run's percent
+spread in "spread_pct" (damps driver-capture link wobble, VERDICT r4
+next #3). When the committed length-calibrated checkpoint exists
+(assets/bench_trained.ckpt), "value_trained_regime" reports the same
+measurement with weights whose captions EOS at ~10 tokens — the
+early-exit regime of trained serving (VERDICT r4 next #2) — alongside
+the honest random-weight worst case, which stays the primary metric.
 
 Opt-in second mode (ISC_BENCH_CALIBRATED=1): the decode's early exit is
 batch-wide (all candidates ended), and with random weights one straggler
@@ -44,6 +51,16 @@ from insenticap_model_tpu import inference
 from insenticap_model_tpu.config import Settings
 from insenticap_model_tpu.models import captioner as cap
 from insenticap_model_tpu.models import sentiment_detector as senti_det
+from insenticap_model_tpu.utils.dtypes import cast_bf16, cast_f32
+
+# Trained-regime checkpoint (VERDICT r4 next #2): a REAL length-
+# calibrated checkpoint at the exact bench shapes (tools/
+# build_bench_ckpt.py — XE-trained until captions EOS at ~10 tokens on
+# fresh random features), so the batch-wide early-exit while_loop the
+# random-weight figure can never trigger is exercised and reported as
+# `value_trained_regime` next to the worst-case primary metric.
+TRAINED_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "assets", "bench_trained.ckpt")
 
 A100_CAPTIONS_PER_SEC_ESTIMATE = 25.0  # extrapolated, NOT measured
 IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
@@ -154,15 +171,7 @@ def main():
     np.asarray(fn(params, fc, att, sentis)[0])
 
     iters = 20 if jax.default_backend() == "tpu" else 3
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            seqs, scores, labels = fn(params, fc, att, sentis)
-        np.asarray(seqs)
-        dt = time.perf_counter() - t0
-        best = max(best, bs * iters / dt)
-    cps = best
+    cps, spread_pct = _throughput(fn, params, fc, att, sentis, bs, iters)
 
     # p50 per-image latency at bs=1 (secondary metric, BASELINE.md).
     # Two numbers: end-to-end includes one host round trip, which through
@@ -196,14 +205,80 @@ def main():
         "p50_latency_ms_bs1": round(p50_ms, 2),
         "device_decode_ms_bs1": round(device_ms, 2),
         "batch_size": bs,
+        "spread_pct": round(spread_pct, 3),
         "backend": jax.default_backend(),
     }
+    record.update(_trained_regime(settings, fn, fc, att, sentis, bs, iters))
 
     if os.environ.get("ISC_BENCH_CALIBRATED") == "1":
         record["decode_length_sweep"] = _decode_length_sweep(
             params, fc, att, sentis, bs, iters)
     watchdog.cancel()
     print(json.dumps(record))
+
+
+def _throughput(fn, params, fc, att, sentis, bs, iters,
+                blocks: int = 3) -> tuple:
+    """Median of `blocks` best-of-3 measurements + percent spread
+    (VERDICT r4 next #3: the single-shot driver capture sat ~1% under
+    same-HEAD builder runs — the median over repeated blocks damps the
+    link-phase wobble, and spread_pct records how noisy this capture
+    was). Sync once per timed block on the seqs fetch (never
+    per-iteration — CLAUDE.md measurement rules)."""
+    vals = []
+    for _ in range(blocks):
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                seqs, scores, labels = fn(params, fc, att, sentis)
+            np.asarray(seqs)
+            best = max(best, bs * iters / (time.perf_counter() - t0))
+        vals.append(best)
+    med = float(np.median(vals))
+    return med, (max(vals) - min(vals)) / med * 100.0
+
+
+def _first_eos_lengths(seqs) -> np.ndarray:
+    seqs = np.asarray(seqs).reshape(-1, np.asarray(seqs).shape[-1])
+    is_eos = seqs == IDS.eos
+    return np.where(is_eos.any(axis=1), is_eos.argmax(axis=1),
+                    seqs.shape[1])
+
+
+def _trained_regime(settings, fn, fc, att, sentis, bs, iters) -> dict:
+    """Throughput with the committed length-calibrated checkpoint
+    (assets/bench_trained.ckpt, tools/build_bench_ckpt.py): generated
+    captions EOS at ~10 tokens, so the decode's batch-wide early-exit
+    while_loop (reference captioner.py:380-411 semantics) actually
+    fires. Returns {} when the artifact is absent (the primary metric
+    never depends on it)."""
+    if not os.path.exists(TRAINED_CKPT):
+        return {}
+    from insenticap_model_tpu.training import checkpoint as ckpt
+    template = {
+        "captioner": cast_bf16(
+            cap.init_params(jax.random.PRNGKey(0), VOCAB, 3, settings)),
+        "senti_detector": cast_bf16(
+            senti_det.init_params(jax.random.PRNGKey(1), 3, settings)),
+    }
+    loaded, _, meta = ckpt.load(TRAINED_CKPT, template)
+    if jax.default_backend() != "tpu":
+        loaded = cast_f32(loaded)
+    # reuse the PRIMARY serving fn (same program, already compiled —
+    # a fresh make_serving_fn wrapper would recompile for minutes)
+    sparams = inference.ServingParams(captioner=loaded["captioner"],
+                                      senti_detector=loaded["senti_detector"])
+    seqs = fn(sparams, fc, att, sentis)[0]
+    lens = _first_eos_lengths(seqs)
+    cps, spread = _throughput(fn, sparams, fc, att, sentis, bs, iters)
+    return {
+        "value_trained_regime": round(cps, 2),
+        "trained_spread_pct": round(spread, 3),
+        "trained_mean_caption_len": round(float(lens.mean()), 2),
+        "trained_max_caption_len": int(lens.max()),
+        "trained_ckpt": os.path.basename(TRAINED_CKPT),
+    }
 
 
 def _decode_length_sweep(params, fc, att, sentis, bs, iters) -> dict:

@@ -72,8 +72,8 @@ def load_models(a):
     composite = {
         "captioner": cap.init_params(jax.random.PRNGKey(0), len(vocab),
                                      len(cats), settings),
-        "senti_detector": senti_det.init_params(jax.random.PRNGKey(1),
-                                                len(cats), settings),
+        "senti_detector": senti_det.module_for(settings).init_params(
+            jax.random.PRNGKey(1), len(cats), settings),
         "sent_senti_cls": None,
     }
     loaded, _, _ = ckpt.load(a.rl_model, {

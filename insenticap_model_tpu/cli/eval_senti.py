@@ -24,8 +24,8 @@ def run(opt: Opts):
     meta = ckpt.load_metadata(opt.rl_senti_resume)
     settings = Settings.from_dict(meta["settings"])
     cats = meta["sentiment_categories"]
-    template = senti_det.init_params(jax.random.PRNGKey(0), len(cats),
-                                     settings)
+    template = senti_det.module_for(settings).init_params(
+        jax.random.PRNGKey(0), len(cats), settings)
     params, _, _ = ckpt.load(opt.rl_senti_resume, template)
     neu_idx = cats.index("neutral")
 
@@ -35,7 +35,8 @@ def run(opt: Opts):
     @jax.jit
     def sample(att):
         # threshold applied on host per sweep value
-        return senti_det.sample(params, att, 0.0, neu_idx)
+        return senti_det.module_for(settings).sample(params, att, 0.0,
+                                                      neu_idx)
 
     evals = {}
     for senti, fns in labeled.items():

@@ -63,8 +63,8 @@ def load_composite(path: str):
     template = {
         "captioner": cap.init_params(jax.random.PRNGKey(0), nv, ns,
                                      settings),
-        "senti_detector": senti_det.init_params(jax.random.PRNGKey(1), ns,
-                                                settings),
+        "senti_detector": senti_det.module_for(settings).init_params(
+            jax.random.PRNGKey(1), ns, settings),
         "sent_senti_cls": ss_cls.init_params(jax.random.PRNGKey(2), nv, ns,
                                              settings),
     }

@@ -68,7 +68,7 @@ def train(opt: Opts):
     cap_template = cap.init_params(jax.random.PRNGKey(opt.seed), len(vocab),
                                    len(opt.sentiment_categories),
                                    opt.settings)
-    senti_template = senti_det.init_params(
+    senti_template = senti_det.module_for(opt.settings).init_params(
         jax.random.PRNGKey(1), len(opt.sentiment_categories), opt.settings)
     cls_template = ss_cls.init_params(jax.random.PRNGKey(2), len(vocab),
                                       len(opt.sentiment_categories),

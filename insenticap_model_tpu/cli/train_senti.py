@@ -23,9 +23,9 @@ from .opts import parse_opt
 
 def train(opt: Opts):
     rt = common.Runtime(opt)
-    params = senti_det.init_params(jax.random.PRNGKey(opt.seed),
-                                   len(opt.sentiment_categories),
-                                   opt.settings)
+    params = senti_det.module_for(opt.settings).init_params(
+        jax.random.PRNGKey(opt.seed), len(opt.sentiment_categories),
+        opt.settings)
     lr = opt.senti_lr
     tx = optim.make_optimizer(lr, opt.grad_clip)
     opt_state = tx.init(params)

@@ -30,6 +30,12 @@ class Settings:
     concept_mid_dim: int = 1024      # reference settings['concept_mid_him']
     sentiment_convs_num: int = 2
     sentiment_fcs_num: int = 2
+    # 0 = the standard SentimentDetector. >0 selects the "full" variant
+    # (models/sentiment_detector_full.py) with this many detection kernels
+    # per sentiment class — the reference keeps the knob commented out
+    # (opts.py:91 `# settings['num_kernels_per_sentiment'] = 4`) so its
+    # variant is dead code; here it is implemented and selectable.
+    num_kernels_per_sentiment: int = 0
     # Vestigial in the reference (opts.py:92-95) — kept for checkpoint-metadata
     # compatibility only; no model reads them.
     sentiment_feat_dim: int = 14 * 14

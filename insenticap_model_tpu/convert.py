@@ -95,6 +95,16 @@ def sentiment_detector_from_torch(sd, num_convs: int = 2,
     }
 
 
+def sentiment_detector_full_from_torch(sd, num_convs: int = 2) -> Dict:
+    """"Full" variant (reference models/sentiment_detector_full.py:11-30;
+    reference-dead code — see models/sentiment_detector_full.py)."""
+    return {
+        "convs": [_conv(sd, f"convs.conv_{i}") for i in range(num_convs)],
+        "senti_conv": _conv(sd, "senti_conv"),
+        "cls": _lin(sd, "cls"),
+    }
+
+
 def sent_senti_cls_from_torch(sd) -> Dict:
     return {
         "word_embed": _emb(sd, "word_embed.0"),

@@ -48,8 +48,8 @@ def detect_and_decode(params: ServingParams, fc, att, sentis, *, settings,
     _get_weights(), captioner.py:83-94). Introspection mode, off the
     serving hot path.
     """
-    senti_labels, _, _ = senti_det.sample(params.senti_detector, att,
-                                          senti_threshold, ids.neutral)
+    senti_labels, _, _ = senti_det.module_for(settings).sample(
+        params.senti_detector, att, senti_threshold, ids.neutral)
     ctx, _ = cap.build_visual_context(
         params.captioner, fc, att, settings.dropout_p,
         jax.random.PRNGKey(0), True,  # deterministic: sample() is eval-mode
@@ -187,11 +187,14 @@ def _forced_decode_local(settings, ids: cap.TokenIds, beam_size: int,
     return fn
 
 
-def _detect_local(senti_threshold: float, neutral: int):
+def _detect_local(senti_threshold: float, neutral: int, settings=None):
     """Image-sentiment label detection body shared by the single-chip
-    and shard_map factories."""
+    and shard_map factories. settings (optional) selects the detector
+    variant (sentiment_detector.module_for); None = standard head."""
+    sd = senti_det.module_for(settings)
+
     def fn(params, att):
-        return senti_det.sample(params, att, senti_threshold, neutral)[0]
+        return sd.sample(params, att, senti_threshold, neutral)[0]
     return fn
 
 
@@ -216,13 +219,14 @@ def make_sharded_forced_serving_fn(mesh, settings, ids: cap.TokenIds,
 
 
 def make_sharded_detect_fn(mesh, senti_threshold: float = SENTI_THRESHOLD,
-                           neutral: int = 2):
+                           neutral: int = 2, settings=None):
     """Data-parallel image-sentiment detection (labels only) over
     `mesh`'s `data` axis — pairs with make_sharded_forced_serving_fn in
     the daemon's sharded mode."""
     from jax.sharding import PartitionSpec as P
 
-    smapped = jax.shard_map(_detect_local(senti_threshold, neutral),
+    smapped = jax.shard_map(_detect_local(senti_threshold, neutral,
+                                          settings),
                             mesh=mesh,
                             in_specs=(P(), P("data")), out_specs=P("data"),
                             check_vma=False)
@@ -230,9 +234,9 @@ def make_sharded_detect_fn(mesh, senti_threshold: float = SENTI_THRESHOLD,
 
 
 def make_detect_fn(senti_threshold: float = SENTI_THRESHOLD,
-                   neutral: int = 2):
+                   neutral: int = 2, settings=None):
     """Jitted single-chip image-sentiment label detection."""
-    return jax.jit(_detect_local(senti_threshold, neutral))
+    return jax.jit(_detect_local(senti_threshold, neutral, settings))
 
 
 def make_forced_serving_fn(settings, ids: cap.TokenIds, beam_size: int = 3,

@@ -26,6 +26,20 @@ from .. import nn
 from ..ops.winograd import conv2d_fast, pallas_eligible
 
 
+def module_for(settings):
+    """The detector module Settings selects: this standard head, or the
+    "full" variant when ``num_kernels_per_sentiment > 0``
+    (sentiment_detector_full.py — the reference keeps that knob commented
+    out at opts.py:91, so the variant is reference-dead code; it is
+    implemented and selectable here). Both expose the same API
+    (init_params / forward / sample / xent_loss / xent_nll_rows)."""
+    if getattr(settings, "num_kernels_per_sentiment", 0) > 0:
+        from . import sentiment_detector_full
+        return sentiment_detector_full
+    import sys
+    return sys.modules[__name__]
+
+
 def init_params(key, num_sentiments: int, settings) -> Dict:
     ks = nn.split_keys(key, settings.sentiment_convs_num
                        + settings.sentiment_fcs_num + 1)

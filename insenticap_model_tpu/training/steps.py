@@ -187,7 +187,7 @@ def make_rl_steps(settings, tx, ids: cap.TokenIds, max_seq_len: int,
             # identity depends on key sort order): conv weights decide
             # whether the bf16 Winograd fast path engages.
             det_dtype = det_params["convs"][0]["w"].dtype
-            senti_labels, _, _ = senti_det.sample(
+            senti_labels, _, _ = senti_det.module_for(settings).sample(
                 det_params, batch["att"].astype(det_dtype),
                 SENTI_THRESHOLD, ids.neutral)
             senti_labels = jax.lax.stop_gradient(senti_labels)
@@ -362,12 +362,14 @@ def make_concept_steps(settings, tx):
 
 
 def make_senti_steps(settings, tx):
+    sd = senti_det.module_for(settings)   # standard head or the full variant
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         def loss_fn(p):
-            return senti_det.xent_loss(p, batch["att"], batch["labels"],
-                                       dropout_p=settings.dropout_p, rng=rng,
-                                       deterministic=False)
+            return sd.xent_loss(p, batch["att"], batch["labels"],
+                                dropout_p=settings.dropout_p, rng=rng,
+                                deterministic=False)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         params, opt_state = optim.apply_updates(params, grads, opt_state, tx)
         return params, opt_state, loss
@@ -375,9 +377,9 @@ def make_senti_steps(settings, tx):
     @jax.jit
     def eval_step(params, batch):
         """(masked loss sum, valid row count, predicted labels)."""
-        rows = senti_det.xent_nll_rows(params, batch["att"], batch["labels"])
+        rows = sd.xent_nll_rows(params, batch["att"], batch["labels"])
         rmask = _row_mask(batch, rows.shape[0], rows.dtype)
-        labels, _, _ = senti_det.sample(params, batch["att"], 0.0, 0)
+        labels, _, _ = sd.sample(params, batch["att"], 0.0, 0)
         return jnp.sum(rows * rmask), jnp.sum(rmask), labels
 
     return train_step, eval_step

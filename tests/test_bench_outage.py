@@ -57,7 +57,12 @@ def test_total_budget_expiry_prints_failure_record():
     # long before the serving-path compile finishes — the watchdog must
     # print the labeled record and force-exit 3 even if the main thread
     # is wedged inside a device call.
-    p = _run_bench({"ISC_BENCH_INIT_WAIT_S": "60",
+    # Pin the CPU backend + scrubbed PYTHONPATH explicitly (advisor r4):
+    # under pytest the _cpu_reexec plugin provides them, but run any other
+    # way the probe would go through the axon tunnel and this test would
+    # hang on the link instead of exercising the watchdog.
+    p = _run_bench({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
+                    "ISC_BENCH_INIT_WAIT_S": "60",
                     "ISC_BENCH_TOTAL_BUDGET_S": "0.5"})
     assert p.returncode == 3, (p.returncode, p.stdout, p.stderr[-500:])
     rec = _last_json_line(p.stdout)

@@ -196,6 +196,49 @@ def test_sentiment_detector_parity():
     np.testing.assert_allclose(np.asarray(score), rscore.numpy(), atol=1e-5)
 
 
+def test_sentiment_detector_full_parity():
+    """The reference-dead "full" variant (models/sentiment_detector_full.py
+    :5-73; its settings knob is commented out at reference opts.py:91),
+    implemented behind Settings.num_kernels_per_sentiment."""
+    from models.sentiment_detector_full import SentimentDetector as FullSD
+    from insenticap_model_tpu.models import sentiment_detector_full as jsdf
+    from insenticap_model_tpu.models import sentiment_detector as jsd_mod
+    import dataclasses
+
+    torch.manual_seed(7)
+    rs = ref_settings()
+    rs["num_kernels_per_sentiment"] = 4
+    ref = FullSD(SENTI_CATS, rs)
+    ref.eval()
+    params = convert.sentiment_detector_full_from_torch(ref.state_dict())
+    g = np.random.default_rng(11)
+    feats = g.normal(size=(2, 5, 5, 24)).astype(np.float32)
+    with torch.no_grad():
+        (rdet, rcls), rmap = ref(torch.from_numpy(feats))
+        rlab, _, rnames, rscore = ref.sample(torch.from_numpy(feats), 0.7)
+    det, cls_out, smap = jsdf.forward_full(params, jnp.asarray(feats),
+                                           dropout_p=0.0)
+    np.testing.assert_allclose(np.asarray(det), rdet.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls_out), rcls.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(smap), rmap.numpy(), atol=1e-5)
+    lab, _, score = jsdf.sample(params, jnp.asarray(feats), 0.7,
+                                SENTI_CATS.index("neutral"))
+    np.testing.assert_array_equal(np.asarray(lab), rlab.numpy())
+    np.testing.assert_allclose(np.asarray(score), rscore.numpy(), atol=1e-5)
+    assert [SENTI_CATS[i] for i in np.asarray(lab)] == rnames
+
+    # Settings selects the variant; init_params shapes match the converter's
+    s_full = dataclasses.replace(our_settings(), num_kernels_per_sentiment=4)
+    assert jsd_mod.module_for(s_full) is jsdf
+    assert jsd_mod.module_for(our_settings()) is jsd_mod
+    init = jsdf.init_params(jax.random.PRNGKey(0), len(SENTI_CATS), s_full)
+    assert jax.tree_util.tree_structure(init) == \
+        jax.tree_util.tree_structure(params)
+    for a, b in zip(jax.tree_util.tree_leaves(init),
+                    jax.tree_util.tree_leaves(params)):
+        assert a.shape == b.shape
+
+
 def test_concept_detector_parity():
     from models.concept_detector import ConceptDetector, MultiLabelClsLoss
     torch.manual_seed(2)

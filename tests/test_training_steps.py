@@ -449,6 +449,34 @@ def test_head_steps(settings):
     assert float(loss) < l0
 
 
+def test_senti_steps_full_variant(settings):
+    """Settings.num_kernels_per_sentiment > 0 routes train/eval/sample
+    through the full detector variant (reference-dead code implemented in
+    models/sentiment_detector_full.py) with no trainer changes."""
+    import dataclasses
+    from insenticap_model_tpu.models import sentiment_detector_full as sdf
+
+    s_full = dataclasses.replace(settings, num_kernels_per_sentiment=2)
+    assert senti_det.module_for(s_full) is sdf
+    g = np.random.default_rng(9)
+    bs = 8
+    tx = optim.make_optimizer(4e-4)
+    p = sdf.init_params(jax.random.PRNGKey(1), 3, s_full)
+    st = tx.init(p)
+    tr, ev = steps.make_senti_steps(s_full, tx)
+    batch = {"att": g.normal(size=(bs, 14, 14, s_full.att_feat_dim)).astype(
+        np.float32),
+        "labels": g.integers(0, 3, size=(bs,)).astype(np.int32)}
+    l0 = None
+    for i in range(8):
+        p, st, loss = tr(p, st, batch, jax.random.PRNGKey(i))
+        l0 = l0 or float(loss)
+    assert np.isfinite(float(loss)) and float(loss) < l0
+    loss_sum, cnt, labels = ev(p, batch)
+    assert labels.shape == (bs,) and float(cnt) == bs
+    assert np.isfinite(float(loss_sum))
+
+
 def test_runtime_places_captioner_model_sharded(settings):
     """cli/common.Runtime on a (4,2) data x model mesh shards the
     captioner's vocab-dim params + optimizer state and the jitted XE

@@ -78,25 +78,54 @@ def _promote_best(stage_dir):
                 os.path.join(stage_dir, "model-best.ckpt"))
 
 
+# anchor-scale architecture (tiny dims: pipeline rebuild stays minutes)
+ANCHOR_SETTINGS = dict(word_emb_dim=16, fc_feat_dim=32, att_feat_dim=32,
+                       feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
+                       concept_mid_dim=24)
+
+
+def anchor_opts(seed: int = 0, **kw):
+    """The Opts every anchor stage runs with (one definition so
+    tools/anchor_tpu.py rescoring uses the exact pipeline config)."""
+    from insenticap_model_tpu.config import Opts, Settings
+    return Opts(settings=Settings(**ANCHOR_SETTINGS), num_concepts=3,
+                max_seq_len=8, seed=seed, **kw)
+
+
+def score_checkpoint(root: str, seed: int = 0, tag: str = "anchor",
+                     out: str = "result/anchor_table.json", **opt_kw) -> dict:
+    """Stage 7 alone: run the paper-table harness on the last RL
+    checkpoint of an existing pipeline tree (a prior run_pipeline
+    workdir). opt_kw lets callers flip serving config — e.g.
+    compute_dtype='bfloat16' for the TPU serving-policy table."""
+    from insenticap_model_tpu.cli import reproduce_table
+    with _chdir(root):
+        return reproduce_table.reproduce(
+            anchor_opts(seed=seed, rl_bs=6, beam_size=2,
+                        img_senti_labels="data/captions/"
+                                         "img_senti_labels.json", **opt_kw),
+            _last("checkpoint/rl/coco/part/model_*.ckpt"),
+            tag=tag,
+            anno_file="data/captions/coco/anno_captions.json",
+            out=out)
+
+
 def run_pipeline(root: str, seed: int = 0, epochs=EPOCHS) -> dict:
     """Fabricate the synthetic tree under `root`, run all 7 stages, and
     return the reproduce_table metric table (the anchor payload).
     Mirrors tests/test_cli_stages.py's stage sequence a→g."""
     from insenticap_model_tpu import preprocessing as pp
     from insenticap_model_tpu import synthetic
-    from insenticap_model_tpu.cli import (detect_concepts, reproduce_table,
+    from insenticap_model_tpu.cli import (detect_concepts,
                                           train_cpt, train_rl, train_senti,
                                           train_sent_senti_cls_rnn as tcls,
                                           train_xe)
-    from insenticap_model_tpu.config import Opts, Settings
+    from insenticap_model_tpu.config import Settings
 
-    settings = Settings(word_emb_dim=16, fc_feat_dim=32, att_feat_dim=32,
-                        feat_emb_dim=16, rnn_hid_dim=16, att_hid_dim=16,
-                        concept_mid_dim=24)
+    settings = Settings(**ANCHOR_SETTINGS)
 
     def opts(**kw):
-        return Opts(settings=settings, num_concepts=3, max_seq_len=8,
-                    seed=seed, **kw)
+        return anchor_opts(seed=seed, **kw)
 
     os.makedirs(root, exist_ok=True)
     synthetic.build_tree(root, settings, seed=seed)
@@ -150,14 +179,8 @@ def run_pipeline(root: str, seed: int = 0, epochs=EPOCHS) -> dict:
         with open("data/captions/coco/anno_captions.json", "w") as f:
             json.dump(anno, f)
         pp.get_lm_sents("./data/captions", ["coco"], "part")
-        # 7. paper-table harness on the last RL checkpoint
-        return reproduce_table.reproduce(
-            opts(rl_bs=6, beam_size=2,
-                 img_senti_labels="data/captions/img_senti_labels.json"),
-            _last("checkpoint/rl/coco/part/model_*.ckpt"),
-            tag="anchor",
-            anno_file="data/captions/coco/anno_captions.json",
-            out="result/anchor_table.json")
+    # 7. paper-table harness on the last RL checkpoint
+    return score_checkpoint(root, seed=seed)
 
 
 def compare_tables(anchored: dict, rebuilt: dict, tol=None) -> list:
