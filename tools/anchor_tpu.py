@@ -51,6 +51,10 @@ def main(argv=None):
     ap.add_argument("--anchor", default=os.path.join(REPO, "ANCHOR.json"))
     ap.add_argument("--workdir", default="",
                     help="keep the pipeline tree here (default: temp)")
+    ap.add_argument("--rescore_only", action="store_true",
+                    help="skip the pipeline stages; score the existing "
+                         "--workdir tree (resume after a scoring-side "
+                         "failure without retraining)")
     a = ap.parse_args(argv)
 
     with open(a.anchor) as f:
@@ -65,8 +69,11 @@ def main(argv=None):
     subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True)
 
     root = a.workdir or tempfile.mkdtemp(prefix="isc_anchor_tpu_")
-    table = build_anchor.run_pipeline(root, seed=anchor["seed"],
-                                      epochs=anchor["epochs"])
+    if a.rescore_only:
+        table = build_anchor.score_checkpoint(root, seed=anchor["seed"])
+    else:
+        table = build_anchor.run_pipeline(root, seed=anchor["seed"],
+                                          epochs=anchor["epochs"])
     violations = build_anchor.compare_tables(anchor["table"], table,
                                              anchor["tolerances"])
 
