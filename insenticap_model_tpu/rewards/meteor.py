@@ -59,6 +59,14 @@ Because of these, the scorer ALWAYS labels itself METEOR* —
 values are close to but not interchangeable with coco-caption METEOR
 (per advisor guidance r3). ``Meteor().mode`` says which stages were
 active so runs on different hosts are comparable.
+
+The gap has a measured magnitude (tools/meteor_config_sweep.py,
+DESIGN.md round-5 item 2 — synthetic stage data, sensitivities not
+official scores): at realistic match densities the synonym stage moves
+scores ~+6 points and the paraphrase stage ~+3-4 (together ~+7-9),
+while the function-word-list stand-in moves them <1 point — i.e. the
+default-config METEOR* can sit several points BELOW what full Meteor
+1.5 would report, and must never be presented as interchangeable.
 """
 from __future__ import annotations
 
