@@ -48,13 +48,57 @@ def _kernel(h_ref, patt_ref, att_ref, w_ref, b_ref, aw_ref,
         out_ref[:, k, :] = res.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "tile_b", "interpret"))
+def _kernel_v2(h_ref, patt_ref, att_ref, w_ref, b_ref, aw_ref,
+               out_ref, *, B: int, TB: int):
+    """v1 with the two reduction passes moved from the VPU to the MXU
+    (VERDICT r4 next #4 attempt: the kernel runs ~2.5x above its HBM
+    floor and is VPU-bound — DESIGN.md r4 item 9 / r3e). The alpha
+    reduce becomes one [TB*N, Ah] x [Ah, 1] dot and the weighted sum
+    becomes per-tile-row [B, N] x [N, Fe] dots (Mosaic has no batched
+    dot_general; the static TB loop keeps every dot 2-D). The tanh —
+    the irreducible transcendental mass — stays on the VPU. Softmax
+    weights enter the MXU dot in att's dtype: f32 stays exact; in bf16
+    serving the result feeds a bf16 output anyway."""
+    q = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32) \
+        + b_ref[:].astype(jnp.float32)                   # [TB*B, Ah]
+    patt = patt_ref[:].astype(jnp.float32)               # [TB, N, Ah]
+    att = att_ref[:]                                     # [TB, N, Fe]
+    aw = aw_ref[:].astype(jnp.float32)                   # [Ah, 1]
+    _, Ah = q.shape
+    N = patt.shape[1]
+    q3 = q.reshape(TB, B, Ah)
+    ws = []
+    for k in range(B):
+        qk = q3[:, k:k + 1, :]                           # [TB,1,Ah] static
+        t = jnp.tanh(patt + qk)                          # [TB,N,Ah] (VPU)
+        e = jnp.dot(t.reshape(TB * N, Ah), aw,           # (MXU)
+                    preferred_element_type=jnp.float32).reshape(TB, N)
+        ws.append(jax.nn.softmax(e, axis=-1))
+    wstack = jnp.stack(ws, axis=1)                       # [TB, B, N]
+    for tb in range(TB):
+        res = jnp.dot(wstack[tb].astype(att.dtype), att[tb],
+                      preferred_element_type=jnp.float32)  # [B,Fe] (MXU)
+        out_ref[tb, :, :] = res.astype(out_ref.dtype)
+
+
+_KERNELS = {"v1": _kernel, "v2": _kernel_v2}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "tile_b", "interpret", "variant"))
 def beam_content_attention(h, p_cont, att, p_att, *, B: int,
-                           tile_b: int = 8, interpret: bool = False):
+                           tile_b: int = 8, interpret: bool = False,
+                           variant: str = None):
     """h [bs*B, H] in IMAGE-major row order (row = image*B + beam, as
     produced by jnp.repeat tiling), p_cont = params['attention']['cont'],
     att/p_att [bs, N, Fe/Ah] UNtiled. Returns att_res [bs*B, Fe].
-    bs must be a multiple of tile_b."""
+    bs must be a multiple of tile_b.
+
+    variant: "v1" (VPU reduces) or "v2" (MXU reduces, _kernel_v2);
+    default = ISC_ATT_KERNEL env or "v1"."""
+    import os
+    if variant is None:
+        variant = os.environ.get("ISC_ATT_KERNEL", "v1")
     bs = att.shape[0]
     assert h.shape[0] == bs * B and bs % tile_b == 0, (h.shape, bs, B)
     N, Fe = att.shape[1], att.shape[2]
@@ -63,7 +107,7 @@ def beam_content_attention(h, p_cont, att, p_att, *, B: int,
     b = p_cont["h2att"]["b"].reshape(1, -1)
     aw = p_cont["att_alpha"]["w"]
 
-    kern = functools.partial(_kernel, B=B, TB=tile_b)
+    kern = functools.partial(_KERNELS[variant], B=B, TB=tile_b)
     out = pl.pallas_call(
         kern,
         grid=(bs // tile_b,),

@@ -260,52 +260,48 @@ def process_senti_corpus(corpus_dir: str,
                          corpus_type: str = "part") -> None:
     senti_corpus = _load(corpus_dir, corpus_type, "senti_corpus.json")
 
-    tmp_senti_corpus = defaultdict(list)
-    tmp_senti_corpus_pos = defaultdict(list)
-    all_sentis: Counter = Counter()
-    sentis: Dict[str, Counter] = defaultdict(Counter)
-    sentiment_detector: Dict[str, Counter] = defaultdict(Counter)
+    # artifact names (tmp_senti_corpus*.json, sentiment_detector.json)
+    # and the tf·ratio algorithm are the reference compatibility
+    # contract; internals below are this module's own
+    tokens_by_label = defaultdict(list)
+    tags_by_label = defaultdict(list)
+    adj_counts_all: Counter = Counter()
+    adj_counts: Dict[str, Counter] = defaultdict(Counter)
+    noun_to_adjs: Dict[str, Counter] = defaultdict(Counter)
 
     for senti_label, sents in senti_corpus.items():
         toks = [text.tokenize(s.strip().lower()) for s in sents]
         for tagged in text.pos_tag_sents(toks):
-            words, poses, nouns, adjs = [], [], [], []
-            for w, p in tagged:
-                if p == ".":
-                    continue
-                words.append(w)
-                poses.append(p)
-                if p == "ADJ":
-                    adjs.append(w)
-                elif p == "NOUN":
-                    nouns.append(w)
-            tmp_senti_corpus[senti_label].append(words)
-            tmp_senti_corpus_pos[senti_label].append(poses)
-            if adjs:
-                all_sentis.update(adjs)
-                sentis[senti_label].update(adjs)
-                for noun in nouns:
-                    sentiment_detector[noun].update(adjs)
+            kept = [(w, p) for w, p in tagged if p != "."]
+            sent_adjs = [w for w, p in kept if p == "ADJ"]
+            tokens_by_label[senti_label].append([w for w, _ in kept])
+            tags_by_label[senti_label].append([p for _, p in kept])
+            if sent_adjs:
+                adj_counts_all.update(sent_adjs)
+                adj_counts[senti_label].update(sent_adjs)
+                for noun in (w for w, p in kept if p == "NOUN"):
+                    noun_to_adjs[noun].update(sent_adjs)
 
-    _dump(tmp_senti_corpus, corpus_dir, corpus_type,
+    _dump(tokens_by_label, corpus_dir, corpus_type,
           "tmp_senti_corpus.json")
-    _dump(tmp_senti_corpus_pos, corpus_dir, corpus_type,
+    _dump(tags_by_label, corpus_dir, corpus_type,
           "tmp_senti_corpus_pos.json")
 
     # tf·ratio scoring of adjectives (reference :135-158)
-    all_sentis_d = {w: n for w, n in all_sentis.most_common() if n >= 3}
-    len_sentis = {k: sum(v.values()) for k, v in sentis.items()}
-    sentis_result: Dict[str, Dict[str, float]] = defaultdict(dict)
-    for k, cnt in sentis.items():
+    frequent_adjs = {w: n for w, n in adj_counts_all.most_common()
+                     if n >= 3}
+    label_totals = {k: sum(v.values()) for k, v in adj_counts.items()}
+    tf_ratio: Dict[str, Dict[str, float]] = defaultdict(dict)
+    for k, cnt in adj_counts.items():
         for w, n in cnt.items():
-            if w in all_sentis_d:
-                tf = n / len_sentis[k]
-                sentis_result[k][w] = tf * (n / all_sentis_d[w])
+            if w in frequent_adjs:
+                tf = n / label_totals[k]
+                tf_ratio[k][w] = tf * (n / frequent_adjs[w])
 
     sentiment_words = {
         k: [w for w, _ in sorted(v.items(), key=lambda p: p[1],
                                  reverse=True)]
-        for k, v in sentis_result.items()}
+        for k, v in tf_ratio.items()}
 
     # pos/neg disjointification (reference :166-184): a word ranked in
     # both polarity lists is dropped from both when the ranks are close
@@ -329,7 +325,7 @@ def process_senti_corpus(corpus_dir: str,
     for w in drop_from_neg:
         sentiment_words["negative"].remove(w)
 
-    sentiment_words = {senti: {w: sentis_result[senti][w] for w in ws}
+    sentiment_words = {senti: {w: tf_ratio[senti][w] for w in ws}
                        for senti, ws in sentiment_words.items()}
     _dump(sentiment_words, corpus_dir, corpus_type, "sentiment_words.json")
 
@@ -338,9 +334,9 @@ def process_senti_corpus(corpus_dir: str,
     flat_words.update(sentiment_words.get("positive", {}))
     flat_words.update(sentiment_words.get("negative", {}))
     table: Dict[str, List] = {}
-    for noun, senti_cnt in sentiment_detector.items():
-        number = sum(senti_cnt.values())
-        entries = [(w, n / number * flat_words[w])
+    for noun, senti_cnt in noun_to_adjs.items():
+        total = sum(senti_cnt.values())
+        entries = [(w, n / total * flat_words[w])
                    for w, n in senti_cnt.most_common() if w in flat_words]
         if entries and len(entries) <= 50:
             table[noun] = entries

@@ -74,3 +74,8 @@ def test_beam_content_attention_matches_reference():
     ref, _ = content_attention(p_cont, h, jnp.repeat(att, B, 0),
                                jnp.repeat(p_att, B, 0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # v2 (MXU-reduce restructure) computes the same math
+    out2 = beam_content_attention(h, p_cont, att, p_att, B=B, tile_b=4,
+                                  interpret=True, variant="v2")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=2e-5)

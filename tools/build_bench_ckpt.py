@@ -177,8 +177,11 @@ def main(argv=None):
             f"{max_len}) — raise --steps or adjust --lr before committing")
 
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
-    ckpt.save(a.out, {"captioner": cast_bf16(params),
-                      "senti_detector": cast_bf16(sd_params)}, None, {
+    # captioner only (~42 MB bf16): the sentiment detector stays random
+    # in bench.py's trained-regime leg (labels don't affect decode
+    # length) and is re-initialized there from the same PRNGKey(1) the
+    # primary metric uses — halves the committed artifact
+    ckpt.save(a.out, {"captioner": cast_bf16(params)}, None, {
         "epoch": -1,
         "settings": settings.to_dict(),
         "max_seq_len": T,
