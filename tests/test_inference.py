@@ -41,6 +41,33 @@ def test_detect_and_decode_shapes(settings):
     assert not np.isin(sq, [IDS.pad, IDS.sos, IDS.unk]).any()
 
 
+def test_serving_with_full_detector_variant(settings):
+    """Settings.num_kernels_per_sentiment > 0 routes the serving path's
+    image-sentiment detection through the full variant
+    (models/sentiment_detector_full.py) with no API change."""
+    import dataclasses
+    from insenticap_model_tpu.models import sentiment_detector_full as sdf
+
+    s_full = dataclasses.replace(settings, num_kernels_per_sentiment=2)
+    g = np.random.default_rng(5)
+    bs, T = 4, 8
+    p = inference.ServingParams(
+        captioner=cap.init_params(jax.random.PRNGKey(0), V, 3, s_full),
+        senti_detector=sdf.init_params(jax.random.PRNGKey(1), 3, s_full))
+    fc = jnp.asarray(g.normal(size=(bs, s_full.fc_feat_dim)), jnp.float32)
+    att = jnp.asarray(g.normal(size=(bs, 14, 14, s_full.att_feat_dim)),
+                      jnp.float32)
+    sentis = jnp.asarray(g.integers(4, V, size=(bs, 6)), jnp.int32)
+    fn = inference.make_serving_fn(s_full, IDS, beam_size=2, max_seq_len=T)
+    seqs, scores, labels = fn(p, fc, att, sentis)
+    assert seqs.shape == (bs, 2, T) and labels.shape == (bs,)
+    # labels equal the variant's own sample() on the same inputs
+    ref_labels, _, _ = sdf.sample(p.senti_detector, att,
+                                  inference.SENTI_THRESHOLD, IDS.neutral)
+    np.testing.assert_array_equal(np.asarray(labels),
+                                  np.asarray(ref_labels))
+
+
 def test_greedy_decode(settings):
     g = np.random.default_rng(1)
     bs, T = 4, 8

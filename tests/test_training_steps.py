@@ -226,6 +226,7 @@ def test_rl_steps(settings):
         assert float(cb[k]) == pytest.approx(float(ca[k])), k
 
 
+@pytest.mark.slow  # knob quantification, not a core gate (r5 re-tier)
 def test_rl_detector_bf16_labels(settings):
     """The RL step routes the frozen sentiment detector by the STAGED
     dtype of its params (steps.py _forward): bf16-staged params engage

@@ -85,6 +85,7 @@ def _tree_max_diff(a, b):
                for x, y in zip(fa, fb))
 
 
+@pytest.mark.slow  # multi-step torch-reference trajectory (r5 re-tier)
 def test_xe_training_trajectory_matches_reference():
     from models.captioner import Captioner
     from models.sent_senti_cls import SentenceSentimentClassifier
@@ -167,6 +168,7 @@ def test_xe_training_trajectory_matches_reference():
     assert _tree_max_diff(jp, ref_final) < 2 * LR * n_steps
 
 
+@pytest.mark.slow  # multi-model torch-reference parity (r5 re-tier)
 def test_rl_step_matches_reference_fixed_rollout():
     """One RL-style optimizer step with a deterministic greedy rollout and
     a fixed external reward tensor: the RewardCriterion + domain-alignment

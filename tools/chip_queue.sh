@@ -1,14 +1,17 @@
 #!/bin/bash
-# Round-4 chip-gated measurement queue (DESIGN.md "Round-4 summary" —
-# PENDING list). Run on the DEFAULT env (axon TPU backend) once the
-# tunnel is up; each stage logs to $OUT and prints its tail.
+# Chip-gated measurement queue (round 5 edition). Run on the DEFAULT
+# env (axon TPU backend) once the tunnel is up; each stage logs to
+# $OUT and prints its tail.
 #
 #   bash tools/chip_queue.sh [outdir]
 #
-# Order matters: bench.py first (BENCH_r04 regression check gates
-# everything else), then the queued A/Bs and profiles.
+# Order matters: bench.py first (regression check gates everything
+# else — both the worst-case primary and the trained-regime line),
+# then the anchor reproduction on the chip, then the standing A/Bs
+# (all currently measured-REJECTED; re-run to re-verify on new
+# hardware/XLA versions — see DESIGN.md for each verdict).
 set -u
-OUT=${1:-/tmp/chip_r4}
+OUT=${1:-/tmp/chip_r5}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
@@ -29,16 +32,12 @@ run() {
 BENCH_ENV="env ISC_BENCH_INIT_WAIT_S=300 ISC_BENCH_TOTAL_BUDGET_S=2400"
 
 run bench              3000 $BENCH_ENV python bench.py
-run ab_scan_unroll     2400 python tools/ab_scan_unroll.py
-run profile_encoder    2400 python tools/profile_encoder.py both
-run ablate_encoder     1800 python tools/ablate_encoder.py
+# full 7-stage pipeline trained on the chip + compared to ANCHOR.json
+# (f32 and bf16 serving policy); ~40 min of mostly tunnel latency
+run anchor_tpu         7200 python tools/anchor_tpu.py \
+                            --workdir "$OUT/anchor_tree"
+run ab_attention       3000 python tools/ab_attention.py
 run ablate_serving     3500 python tools/ablate_serving.py
-run ab_maxpool         2400 python tools/ab_maxpool.py --variants pallas
+run profile_encoder    2400 python tools/profile_encoder.py both
 run bench_daemon_image 1800 python tools/bench_daemon.py image
-run ablate_train       7200 python tools/ablate_train.py --step both
-run ab_ciderd_merge    3600 python tools/ab_ciderd_merge.py
-run ab_rl_detector     3600 python tools/ab_rl_detector.py
-run bench_calibrated   3000 $BENCH_ENV env ISC_BENCH_CALIBRATED=1 python bench.py
-run soak_daemon        1500 python tools/soak_daemon.py
-
-echo "all stage logs in $OUT"
+run bench_train        3600 python tools/bench_train.py
