@@ -84,8 +84,6 @@ def _kernel_v2(h_ref, patt_ref, att_ref, w_ref, b_ref, aw_ref,
 _KERNELS = {"v1": _kernel, "v2": _kernel_v2}
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("B", "tile_b", "interpret", "variant"))
 def beam_content_attention(h, p_cont, att, p_att, *, B: int,
                            tile_b: int = 8, interpret: bool = False,
                            variant: str = None):
@@ -95,10 +93,24 @@ def beam_content_attention(h, p_cont, att, p_att, *, B: int,
     bs must be a multiple of tile_b.
 
     variant: "v1" (VPU reduces) or "v2" (MXU reduces, _kernel_v2);
-    default = ISC_ATT_KERNEL env or "v1"."""
+    default = ISC_ATT_KERNEL env or "v1". The env is resolved HERE, in
+    the un-jitted wrapper, never inside the jitted body: a trace-time
+    env read inside jit is frozen by the trace cache under
+    variant=None, so whichever trace ran first would silently pin the
+    kernel for every later same-shape caller (r5 code review — the
+    first A/B of v2 measured v1 against v1 this way)."""
     import os
     if variant is None:
         variant = os.environ.get("ISC_ATT_KERNEL", "v1")
+    return _beam_content_attention(h, p_cont, att, p_att, B=B,
+                                   tile_b=tile_b, interpret=interpret,
+                                   variant=variant)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "tile_b", "interpret", "variant"))
+def _beam_content_attention(h, p_cont, att, p_att, *, B: int,
+                            tile_b: int, interpret: bool, variant: str):
     bs = att.shape[0]
     assert h.shape[0] == bs * B and bs % tile_b == 0, (h.shape, bs, B)
     N, Fe = att.shape[1], att.shape[2]

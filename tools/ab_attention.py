@@ -37,7 +37,6 @@ from insenticap_model_tpu import inference
 from insenticap_model_tpu.config import Settings
 from insenticap_model_tpu.models import captioner as cap
 from insenticap_model_tpu.models import sentiment_detector as senti_det
-from insenticap_model_tpu.ops import beam as beam_mod
 
 IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
 VOCAB, NUM_SENTIS = 10000, 10
@@ -67,9 +66,13 @@ def main():
     fns = {}
     outs = {}
     for variant in ("v1", "v2"):
-        # beam.py's call reads ISC_ATT_KERNEL at TRACE time; each
-        # make_serving_fn wrapper traces on its first call, so setting
-        # the env before that call pins the variant for that fn
+        # each make_serving_fn wrapper traces on its first call; the
+        # env is resolved in fused_attention's UN-jitted wrapper during
+        # that trace and passed as a concrete static arg to the inner
+        # jit (cache keyed on it), so each fn really gets its variant
+        # (r5 code review: the first version of this A/B measured v1
+        # against v1 — the env read lived inside the inner jit and the
+        # trace cache under variant=None reused the first kernel)
         os.environ["ISC_ATT_KERNEL"] = variant
         fn = inference.make_serving_fn(settings, IDS, beam_size=3,
                                        max_seq_len=16)

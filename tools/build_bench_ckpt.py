@@ -75,7 +75,6 @@ def make_batch(g, bs, settings):
     caps = np.full((bs, T + 1), IDS.pad, np.int32)
     caps[:, 0] = IDS.sos
     lengths = np.zeros((bs,), np.int32)
-    n_words = CAP_WORD_HI - CAP_WORD_LO
     for i in range(bs):
         w = int(g.integers(CAP_WORD_LO, CAP_WORD_HI))
         L = LEN_LO + (w % (LEN_HI - LEN_LO + 1))
@@ -97,12 +96,12 @@ def make_batch(g, bs, settings):
     }
 
 
-def mean_decoded_length(seqs) -> float:
-    """Mean first-EOS position over every [*, T] row (T where absent)."""
-    seqs = np.asarray(seqs).reshape(-1, seqs.shape[-1])
-    is_eos = seqs == IDS.eos
-    has = is_eos.any(axis=1)
-    first = np.where(has, is_eos.argmax(axis=1), seqs.shape[1])
+def mean_decoded_length(seqs):
+    """(mean, max) first-EOS position over every [*, T] row (T where
+    absent) — bench.py's _first_eos_lengths is the single source of the
+    EOS-position convention so the two reports cannot drift."""
+    from bench import _first_eos_lengths
+    first = _first_eos_lengths(np.asarray(seqs))
     return float(first.mean()), int(first.max())
 
 
