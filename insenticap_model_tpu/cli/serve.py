@@ -152,6 +152,10 @@ def _load_encoder(resnet101_ckpt: str, compute_dtype: str, mesh=None):
     if mesh is not None:
         from ..parallel import mesh as pmesh
         enc_params = pmesh.replicate(mesh, enc_params)
+    else:
+        # device-stage once — host params from ckpt.load would re-ship
+        # the whole ResNet (~45 MB bf16) on every encode batch
+        enc_params = jax.tree_util.tree_map(jnp.asarray, enc_params)
     # raw-uint8 path: normalize folded into conv1, 4x fewer
     # host->device bytes than shipping float pixels
     return jax.jit(lambda x, p=enc_params: enc.forward_raw_batch(p, x))
@@ -201,6 +205,9 @@ class ServeApp:
         if mesh is not None:
             from ..parallel import mesh as pmesh
             self.cpt_params = pmesh.replicate(mesh, self.cpt_params)
+        else:
+            self.cpt_params = jax.tree_util.tree_map(jnp.asarray,
+                                                     self.cpt_params)
         # f32 scoring regardless of the serving dtype (top-k order is
         # the product; bf16 fc rows from the encoder cast up here)
         cpt_apply = jax.jit(

@@ -138,8 +138,15 @@ class DynamicBatcher(_BatcherBase):
         self._buckets = tuple(int(b) for b in bucket_sizes)
         self._batch_sharding = None
         if mesh is None:
-            self._cap_params = cap_params
-            self._senti_params = senti_params
+            # device-stage ONCE: checkpoint.load returns HOST arrays, and
+            # jitted calls re-transfer host params on EVERY dispatch
+            # (~44 MB of captioner params per batch — the bench.py
+            # trained-regime leg measured 13,881 -> 340 captions/s from
+            # exactly this before its fix; CLAUDE.md measurement rules)
+            self._cap_params = jax.tree_util.tree_map(jnp.asarray,
+                                                      cap_params)
+            self._senti_params = jax.tree_util.tree_map(jnp.asarray,
+                                                        senti_params)
             self._detect = inference.make_detect_fn(senti_threshold,
                                                     ids.neutral, settings)
             self._serve = inference.make_forced_serving_fn(
