@@ -276,7 +276,7 @@ def _trained_regime(settings, fn, fc, att, sentis, bs, iters) -> dict:
         "captioner": cast_bf16(
             cap.init_params(jax.random.PRNGKey(0), VOCAB, 3, settings)),
     }
-    loaded, _, meta = ckpt.load(TRAINED_CKPT, template)
+    loaded, _, _ = ckpt.load(TRAINED_CKPT, template)
     senti_params = cast_bf16(
         senti_det.init_params(jax.random.PRNGKey(1), 3, settings))
     if jax.default_backend() != "tpu":

@@ -37,9 +37,8 @@ from insenticap_model_tpu import inference
 from insenticap_model_tpu.config import Settings
 from insenticap_model_tpu.models import captioner as cap
 from insenticap_model_tpu.models import sentiment_detector as senti_det
-
-IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
-VOCAB, NUM_SENTIS = 10000, 10
+# the bench's own production-shape constants — one definition
+from bench import IDS, NUM_SENTIS, VOCAB
 
 
 def main():

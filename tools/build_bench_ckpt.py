@@ -47,11 +47,11 @@ from insenticap_model_tpu.training import checkpoint as ckpt
 from insenticap_model_tpu.training import optim
 from insenticap_model_tpu.utils.dtypes import cast_bf16
 
-# bench.py's production shapes (keep in sync)
-VOCAB = 10000
-NUM_SENTIS = 10
+# bench.py's production shapes — imported, not copied, so they cannot
+# drift (bench hardcodes max_seq_len=16 in its make_serving_fn calls)
+from bench import IDS, NUM_SENTIS, VOCAB  # noqa: E402
+
 T = 16
-IDS = cap.TokenIds(pad=0, unk=1, sos=2, eos=3, neutral=2)
 CAP_WORD_LO, CAP_WORD_HI = 4, 104   # 100-word caption vocabulary
 LEN_LO, LEN_HI = 9, 11              # words per caption (SentiCap ~10)
 
