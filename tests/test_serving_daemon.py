@@ -65,6 +65,30 @@ def _direct(params, settings, reqs, labels):
     return out
 
 
+def test_auto_detection_with_full_detector_variant(settings):
+    """A checkpoint trained with the full detector variant
+    (Settings.num_kernels_per_sentiment > 0) serves through the daemon:
+    the AUTO path's detect program routes via sentiment_detector
+    .module_for, and labels match the variant's own sample()."""
+    import dataclasses
+    from insenticap_model_tpu.models import sentiment_detector_full as sdf
+
+    s_full = dataclasses.replace(settings, num_kernels_per_sentiment=2)
+    cp = cap.init_params(jax.random.PRNGKey(0), V, 3, s_full)
+    sp = sdf.init_params(jax.random.PRNGKey(1), 3, s_full)
+    reqs = _reqs(s_full, 3, seed=7)
+    with DynamicBatcher(cp, sp, settings=s_full, ids=IDS, beam_size=2,
+                        max_seq_len=T, num_sentiments=M, att_hw=(7, 7),
+                        bucket_sizes=(4,), max_wait_s=0.05) as b:
+        outs = [b.submit(fc, att, sentis) for fc, att, sentis in reqs]
+    att_all = np.stack([r[1] for r in reqs])
+    want, _, _ = sdf.sample(sp, jnp.asarray(att_all),
+                            inference.SENTI_THRESHOLD, IDS.neutral)
+    assert [lab for _, _, lab in outs] == list(np.asarray(want))
+    for seqs, scores, _ in outs:
+        assert seqs.shape == (2, T) and np.isfinite(scores).all()
+
+
 def test_host_params_device_staged_once(params, settings):
     """checkpoint.load hands the daemon HOST numpy params; the batcher
     must device-stage them at construction — host params passed as jit
